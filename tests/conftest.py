@@ -1,0 +1,19 @@
+"""Test bootstrap: force an 8-virtual-device CPU mesh.
+
+The environment pins JAX to the 'axon' (TPU tunnel) platform via a
+sitecustomize hook; it pre-imports jax but does NOT initialize backends, so
+flipping the platform here (before any test touches a device) is safe.
+Multi-chip sharding tests run against the 8-device virtual CPU mesh; the
+driver separately dry-runs the multi-chip path via __graft_entry__.py.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
