@@ -1,0 +1,247 @@
+import asyncio
+import hashlib
+
+import numpy as np
+import pytest
+
+from cryptography.hazmat.primitives.asymmetric.ed25519 import Ed25519PrivateKey
+from cryptography.hazmat.primitives import serialization
+
+from vectorx_tpu.circuits import commitments, scale
+from vectorx_tpu.circuits.abi import (HeaderRangeInput, HeaderRangeOutput,
+                                      RotateInput, range_commitment_key)
+from vectorx_tpu.services import dummy, indexer, operator, store
+from vectorx_tpu.utils.keccak import keccak256
+
+RNG = np.random.default_rng(11)
+
+
+class TestKeccak:
+    def test_known_vectors(self):
+        # keccak256("") and keccak256("abc") — Ethereum-standard digests
+        assert keccak256(b"").hex() == (
+            "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+        assert keccak256(b"abc").hex() == (
+            "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+        assert keccak256(b"x" * 200).hex() != keccak256(b"x" * 201).hex()
+
+
+class TestAbi:
+    def test_header_range_round_trip(self):
+        inp = HeaderRangeInput(1234, bytes(range(32)), 77, bytes(range(32, 64)), 5678)
+        assert HeaderRangeInput.decode(inp.encode()) == inp
+        assert len(inp.encode()) == 80
+
+    def test_golden_header_range_input(self):
+        # from the reference's pinned proof input (dummy_header_range.rs:66)
+        raw = bytes.fromhex(
+            "0003c18695f303b01e4834da35e5fdc3971fe297d1b48feb0c3f330491639136"
+            "a6ada5980000000000000075f2da06eb7ec36f683d2908648c431a1b3f968fa5"
+            "212b72cc7e8eddce8b80958d0003c23a")
+        inp = HeaderRangeInput.decode(raw)
+        assert inp.trusted_block == 0x0003c186
+        assert inp.authority_set_id == 0x75
+        assert inp.target_block == 0x0003c23a
+        assert inp.encode() == raw
+
+    def test_golden_rotate_input(self):
+        raw = bytes.fromhex(
+            "0000000000000075f2da06eb7ec36f683d2908648c431a1b3f968fa5212b72cc"
+            "7e8eddce8b80958d0003c6f0"[:80])
+        # rotate input is the first 40 bytes
+        inp = RotateInput.decode(raw[:40])
+        assert inp.authority_set_id == 0x75
+        assert inp.encode() == raw[:40]
+
+    def test_range_key(self):
+        k = range_commitment_key(100, 200)
+        assert len(k) == 32
+
+
+class FakeSource:
+    """Synthetic chain for the dummy programs."""
+
+    def __init__(self, n_blocks=300):
+        self.headers = {}
+        self.roots = {}
+        for b in range(n_blocks):
+            sr = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+            dr = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+            hdr = bytes(32) + scale.encode_compact_u32(b) + sr + bytes(10) + dr
+            self.headers[b] = hdr
+            self.roots[b] = (sr, dr)
+        self.authorities_by_block = {}
+
+    def get_header(self, b):
+        return self.headers[b]
+
+    def get_roots_range(self, start, end):
+        blocks = range(start + 1, end + 1)
+        return ([self.roots[b][0] for b in blocks],
+                [self.roots[b][1] for b in blocks])
+
+    def last_justified_block(self, set_id):
+        return 180
+
+    def get_authorities(self, b):
+        return self.authorities_by_block.get(b, [bytes([i] * 32) for i in range(4)])
+
+
+class TestDummyPrograms:
+    def test_dummy_header_range(self):
+        src = FakeSource()
+        inp = HeaderRangeInput(10, bytes(32), 0, bytes(32), 25)
+        out = dummy.dummy_header_range(inp.encode(), src, tree_size=16)
+        dec = HeaderRangeOutput.decode(out)
+        assert dec.target_header_hash == hashlib.blake2b(
+            src.get_header(25), digest_size=32).digest()
+        sr, dr = src.get_roots_range(10, 25)
+        ws, wd = commitments.range_commitments(sr, dr, 16)
+        assert dec.state_root_commitment == ws
+        assert dec.data_root_commitment == wd
+
+    def test_dummy_rotate(self):
+        src = FakeSource()
+        inp = RotateInput(7, bytes(32))
+        out = dummy.dummy_rotate(inp.encode(), src)
+        assert out == commitments.authority_set_hash(src.get_authorities(180))
+
+
+class TestIndexer:
+    def _make_justification(self, n_auth=6, n_sign=5):
+        keys = [Ed25519PrivateKey.generate() for _ in range(n_auth)]
+        pubs = [k.public_key().public_bytes(
+            serialization.Encoding.Raw, serialization.PublicFormat.Raw) for k in keys]
+        block_hash = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+        j_round, set_id, block_nb = 42, 7, 31337
+        msg = indexer.build_signed_message(block_hash, block_nb, j_round, set_id)
+        signers = list(range(n_auth))[:n_sign]
+        j = indexer.Justification(
+            round=j_round, block_hash=block_hash, block_number=block_nb,
+            authority_set_id=set_id,
+            precommit_pubkeys=[pubs[i] for i in signers],
+            precommit_signatures=[keys[i].sign(msg) for i in signers])
+        return j, pubs
+
+    def test_verify_and_canonical_order(self):
+        j, authorities = self._make_justification()
+        stored = indexer.verify_justification(j, authorities, use_device=False)
+        assert stored is not None
+        assert stored.pubkeys == [p.hex() for p in authorities]
+        assert stored.validator_signed == [True] * 5 + [False]
+        assert stored.signatures[5] == indexer.DUMMY_SIGNATURE.hex()
+        assert bytes.fromhex(stored.signed_message)[0] == 1  # precommit tag
+
+    def test_below_threshold_rejected(self):
+        j, authorities = self._make_justification(n_auth=6, n_sign=4)
+        # 4 <= (6*2)//3 = 4 -> rejected
+        assert indexer.verify_justification(j, authorities, use_device=False) is None
+
+    def test_store_round_trip(self):
+        j, authorities = self._make_justification()
+        st = store.InMemoryStore()
+        stored = indexer.verify_justification(j, authorities, use_device=False)
+        st.add_justification(stored)
+        got = st.get_justification(j.block_number)
+        assert got == stored
+        assert st.justified_blocks_in_range(0, 10 ** 6) == [j.block_number]
+
+
+class FakeChain:
+    def __init__(self):
+        self.head = 1000
+        self.set_ids = {}
+        self.last_justified = {}
+        self.justified = set()
+
+    async def get_head_block(self):
+        return self.head
+
+    async def get_authority_set_id(self, block):
+        return self.set_ids.get(block, 5)
+
+    async def last_justified_block(self, set_id):
+        return self.last_justified.get(set_id, 0)
+
+    async def has_justification(self, block):
+        return block in self.justified
+
+
+class FakeContract:
+    def __init__(self):
+        self.latest = 500
+        self.tree_size = 256
+        self.set_hashes = {}
+        self.requests = []
+
+    async def latest_block(self):
+        return self.latest
+
+    async def header_range_commitment_tree_size(self):
+        return self.tree_size
+
+    async def authority_set_id_to_hash(self, sid):
+        return self.set_hashes.get(sid, b"\x00" * 32)
+
+    async def block_height_to_header_hash(self, b):
+        return bytes([1] * 32)
+
+    async def request_header_range(self, inp):
+        self.requests.append(("header_range", inp))
+        return "req-hr"
+
+    async def request_rotate(self, inp):
+        self.requests.append(("rotate", inp))
+        return "req-rot"
+
+
+class TestOperator:
+    def _mk(self, dummy_mode=True):
+        chain, contract = FakeChain(), FakeContract()
+        cfg = operator.OperatorConfig(is_dummy=dummy_mode, update_delay_blocks=180)
+        return operator.Operator(chain, contract, cfg), chain, contract
+
+    def test_step_to_interval_multiple(self):
+        op, chain, contract = self._mk()
+        # head 1000, latest 500, tree 256 -> max_valid = min(756,1000) = 756
+        # 756 - 756%180 = 720 > 500 -> step to 720
+        res = asyncio.run(op.find_block_to_step_to(180, 256, 500, 1000, 5))
+        assert res == 720
+
+    def test_step_to_epoch_end(self):
+        op, chain, contract = self._mk()
+        chain.last_justified[5] = 600
+        res = asyncio.run(op.find_block_to_step_to(180, 256, 500, 1000, 5))
+        assert res == 600
+
+    def test_no_step_when_caught_up(self):
+        op, chain, contract = self._mk()
+        chain.head = 505
+        res = asyncio.run(op.find_block_to_step_to(180, 256, 500, 505, 5))
+        assert res is None
+
+    def test_justification_scan(self):
+        op, chain, contract = self._mk(dummy_mode=False)
+        chain.justified.add(723)
+        res = asyncio.run(op.find_block_to_step_to(180, 256, 500, 1000, 5))
+        assert res == 723
+
+    def test_request_header_range_flow(self):
+        op, chain, contract = self._mk()
+        contract.set_hashes[5] = bytes([2] * 32)
+        req = asyncio.run(op.find_and_request_header_range())
+        assert req == "req-hr"
+        kind, inp = contract.requests[0]
+        assert kind == "header_range"
+        assert inp.trusted_block == 500 and inp.target_block == 720
+        assert inp.authority_set_id == 5
+
+    def test_rotate_requested_when_new_epoch(self):
+        op, chain, contract = self._mk()
+        chain.set_ids[999] = 6   # head-1 -> set 6
+        chain.set_ids[499] = 5   # latest-1 -> set 5
+        contract.set_hashes[5] = bytes([2] * 32)
+        req = asyncio.run(op.find_and_request_rotate())
+        assert req == "req-rot"
+        kind, inp = contract.requests[0]
+        assert kind == "rotate" and inp.authority_set_id == 5

@@ -279,6 +279,29 @@ def batch_inv(a: Fp) -> Fp:
     return inv(a)
 
 
+def sum_mod(a: Fp, axis: int = -1) -> Fp:
+    """Modular sum over an axis via carry-save 16-bit columns (≤ 2^15 terms).
+
+    One pass of 4 uint32 column sums + a single 128-bit reduction — replaces
+    a chain of n modular adds (the MDS/barycentric inner product hot path).
+    """
+    n = a[0].shape[axis]
+    assert n <= (1 << 15), "sum_mod: too many terms for 16-bit carry-save"
+    m16 = _u32(0xFFFF)
+    s0 = jnp.sum(a[0] & m16, axis=axis, dtype=jnp.uint32)
+    s1 = jnp.sum(a[0] >> _u32(16), axis=axis, dtype=jnp.uint32)
+    s2 = jnp.sum(a[1] & m16, axis=axis, dtype=jnp.uint32)
+    s3 = jnp.sum(a[1] >> _u32(16), axis=axis, dtype=jnp.uint32)
+    # value = s0 + s1*2^16 + s2*2^32 + s3*2^48, each s_k < 2^31
+    lo = s0 + (s1 << _u32(16))
+    c0 = (lo < s0).astype(_U32)
+    hi_a = (s1 >> _u32(16)) + s2 + c0          # < 2^32, no overflow (s_k < 2^31)
+    hi = hi_a + (s3 << _u32(16))
+    c1 = (hi < hi_a).astype(_U32)
+    n2 = (s3 >> _u32(16)) + c1
+    return reduce128(lo, hi, n2, jnp.zeros_like(n2))
+
+
 def is_zero(a: Fp) -> jax.Array:
     return (a[0] == 0) & (a[1] == 0)
 

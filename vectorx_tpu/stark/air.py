@@ -1,0 +1,159 @@
+"""AIR (algebraic intermediate representation) interface for the STARK.
+
+An AIR defines a trace layout plus constraint polynomials over (local_row,
+next_row, publics). The same constraint code runs in two rings:
+
+- ``BaseVecAlgebra``: base-field vectors over the whole LDE domain (prover —
+  every constraint evaluates on all N_lde points at once, pure VPU work);
+- ``ExtAlgebra``:     GF(p^2) scalars at the out-of-domain point ζ (verifier
+  ALI consistency check).
+
+This is the TPU-native counterpart of the reference stack's builder DSL +
+constraint system (plonky2x ``CircuitBuilder`` ops, SURVEY.md L5): instead
+of routing individual gates, constraints are dense tensor expressions XLA
+can fuse.
+
+Transition constraints hold on rows 0..N-2 (divisor (x^N-1)/(x-g^{N-1})),
+``first``/``last`` boundary constraints at row 0 / N-1 (divisors x-1,
+x-g^{N-1}).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..field import ext
+
+
+class BaseVecAlgebra:
+    """Elements: Fp arrays of a fixed shape (the LDE domain)."""
+
+    def __init__(self, shape):
+        self.shape = shape
+
+    def add(self, a, b):
+        return gl.add(a, b)
+
+    def sub(self, a, b):
+        return gl.sub(a, b)
+
+    def mul(self, a, b):
+        return gl.mul(a, b)
+
+    def constant(self, c: int):
+        return gl.full(self.shape, c % gl.MODULUS)
+
+    def lift(self, scalar: gl.Fp):
+        """Broadcast a scalar Fp (shape ()) into the domain shape."""
+        return (jnp.broadcast_to(scalar[0], self.shape),
+                jnp.broadcast_to(scalar[1], self.shape))
+
+    def one(self):
+        return self.constant(1)
+
+    def zero(self):
+        return self.constant(0)
+
+
+class ExtAlgebra:
+    """Elements: Fp2 scalars (shape-() components)."""
+
+    def add(self, a, b):
+        return ext.add(a, b)
+
+    def sub(self, a, b):
+        return ext.sub(a, b)
+
+    def mul(self, a, b):
+        return ext.mul(a, b)
+
+    def constant(self, c: int):
+        return ext.from_base(gl.full((), c % gl.MODULUS))
+
+    def lift(self, scalar: gl.Fp):
+        return ext.from_base(scalar)
+
+    def one(self):
+        return self.constant(1)
+
+    def zero(self):
+        return self.constant(0)
+
+
+class Air:
+    """Subclass and define the trace + constraints.
+
+    Conventions:
+    - ``local``/``next_row`` are lists of ring elements, one per column.
+    - ``publics`` is a list of Fp scalars (shape ()); use ``alg.lift``.
+    - every constraint must have total degree <= max_constraint_degree.
+    """
+
+    num_cols: int = 0
+    max_constraint_degree: int = 3
+
+    def transition(self, alg, local: List, next_row: List, publics: List) -> List:
+        return []
+
+    def first_row(self, alg, local: List, publics: List) -> List:
+        return []
+
+    def last_row(self, alg, local: List, publics: List) -> List:
+        return []
+
+    def num_constraints(self) -> int:
+        """Total constraint count (transition + first + last)."""
+        alg = ExtAlgebra()
+        dummy = [alg.zero() for _ in range(self.num_cols)]
+        pubs = [gl.zeros(()) for _ in range(getattr(self, "num_publics", 0))]
+        return (len(self.transition(alg, dummy, dummy, pubs))
+                + len(self.first_row(alg, dummy, pubs))
+                + len(self.last_row(alg, dummy, pubs)))
+
+
+class FibonacciAir(Air):
+    """Toy AIR: two columns (a, b); step (a, b) -> (b, a+b).
+
+    Publics: [a0, b0, res] with res = a at the last row.
+    The smoke-test AIR for the end-to-end prover (the `dummy program` of our
+    stack, cf. the reference's rustx dummies used to exercise the pipeline).
+    """
+
+    num_cols = 2
+    num_publics = 3
+
+    def transition(self, alg, local, next_row, publics):
+        a, b = local
+        an, bn = next_row
+        return [
+            alg.sub(an, b),                    # a' = b
+            alg.sub(bn, alg.add(a, b)),        # b' = a + b
+        ]
+
+    def first_row(self, alg, local, publics):
+        a, b = local
+        return [
+            alg.sub(a, alg.lift(publics[0])),
+            alg.sub(b, alg.lift(publics[1])),
+        ]
+
+    def last_row(self, alg, local, publics):
+        a, b = local
+        return [alg.sub(a, alg.lift(publics[2]))]
+
+    @staticmethod
+    def make_trace(n: int, a0: int = 0, b0: int = 1):
+        """Host-side trace builder -> ((2, n) Fp trace, publics list)."""
+        P = gl.MODULUS
+        a, b = a0 % P, b0 % P
+        col_a, col_b = [], []
+        for _ in range(n):
+            col_a.append(a)
+            col_b.append(b)
+            a, b = b, (a + b) % P
+        trace = gl.to_fp([col_a, col_b])
+        publics = [a0 % P, b0 % P, col_a[-1]]
+        return trace, publics

@@ -1,0 +1,99 @@
+"""Poseidon Merkle tree with caps — trace/FRI commitments for the prover.
+
+The commitment structure our STARK prover uses for trace columns and FRI
+codewords, in the role plonky2's Merkle caps play for the reference prover
+(SURVEY.md §2.2 "Poseidon hash"). A *cap* of height h is the set of 2^h
+subtree roots, committing the tree while shortening query paths by h levels.
+
+Leaves are rows of a (num_leaves, row_width) matrix of field elements;
+each leaf digest = Poseidon sponge of its row; internal nodes =
+Poseidon 2-to-1. Levels are built with one batched permutation per level —
+each level halves, total work ~2x the leaf hashing, all VPU-friendly.
+
+Distinct from circuits/commitments.py's SHA-256 "simple merkle" (which must
+match the reference's *public* on-chain commitment bit-for-bit); this tree is
+internal to our proof system.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..hashes import poseidon as ps
+
+Digest = gl.Fp  # (..., 4) lo/hi
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class MerkleTree:
+    """levels[0] = leaf digests (n, 4); levels[-1] = cap (2^cap_height, 4)."""
+    levels: List[Digest]
+    cap_height: int = field(default=0, metadata=dict(static=True))
+
+    @property
+    def cap(self) -> Digest:
+        return self.levels[-1]
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0][0].shape[0]
+
+
+def hash_leaves(rows: gl.Fp) -> Digest:
+    """(n, w) field-element rows -> (n, 4) leaf digests."""
+    return ps.hash_many(rows)
+
+
+def build(rows: gl.Fp, cap_height: int = 0) -> MerkleTree:
+    n = rows[0].shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    assert (1 << cap_height) <= n
+    digests = hash_leaves(rows)
+    levels = [digests]
+    while digests[0].shape[0] > (1 << cap_height):
+        left = (digests[0][0::2], digests[1][0::2])
+        right = (digests[0][1::2], digests[1][1::2])
+        digests = ps.hash_two_to_one(left, right)
+        levels.append(digests)
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
+def prove(tree: MerkleTree, index) -> Digest:
+    """Sibling path for a leaf: (depth, 4) digests. index may be traced."""
+    sib_lo, sib_hi = [], []
+    idx = jnp.asarray(index, jnp.int32)
+    for level in tree.levels[:-1]:
+        sib = idx ^ 1
+        sib_lo.append(level[0][sib])
+        sib_hi.append(level[1][sib])
+        idx = idx >> 1
+    return jnp.stack(sib_lo), jnp.stack(sib_hi)
+
+
+def verify(cap: Digest, index, leaf_row: gl.Fp, path: Digest) -> jax.Array:
+    """Recompute root from a leaf row + sibling path; check against the cap.
+
+    Returns a bool scalar. Shapes static; index may be traced.
+    """
+    digest = ps.hash_many((leaf_row[0][None, :], leaf_row[1][None, :]))
+    digest = (digest[0][0], digest[1][0])  # (4,)
+    idx = jnp.asarray(index, jnp.int32)
+    depth = path[0].shape[0]
+    for d in range(depth):
+        sib = (path[0][d], path[1][d])
+        is_right = (idx & 1).astype(bool)
+        left = gl.select(is_right, sib, digest)
+        right = gl.select(is_right, digest, sib)
+        out = ps.hash_two_to_one((left[0][None, :], left[1][None, :]),
+                                 (right[0][None, :], right[1][None, :]))
+        digest = (out[0][0], out[1][0])
+        idx = idx >> 1
+    cap_entry = (cap[0][idx], cap[1][idx])
+    return jnp.all(gl.eq(digest, cap_entry))

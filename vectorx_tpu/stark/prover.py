@@ -1,0 +1,286 @@
+"""DEEP-ALI STARK prover — trace commit → quotient → DEEP → FRI.
+
+The TPU-native replacement for the reference's plonky2 ``circuit.prove``
+(SURVEY.md §3.1 step "plonky2 prove: witgen → trace LDE (NTT) → Poseidon
+Merkle commit → FRI"). Everything is statically shaped and jittable; the
+heavy phases are dense tensor passes:
+
+  1. trace LDE         — batched coset NTT over all columns
+  2. trace commit      — batched Poseidon Merkle (rows of the LDE matrix)
+  3. constraint eval   — AIR constraints evaluated on the whole LDE domain
+                         at once (BaseVecAlgebra), combined with α-powers
+  4. quotient          — divide by vanishing polys (pointwise, batch-inverse),
+                         split into degree-N chunks, commit
+  5. DEEP composition  — open trace/quotient at ζ (barycentric), batch the
+                         deviation quotients with β-powers into one GF(p^2)
+                         codeword
+  6. FRI               — low-degree proof of the composition codeword
+  7. query openings    — trace/quotient rows + Merkle paths at FRI indices
+
+Transcript order is fixed (see verifier.py, which mirrors it exactly):
+publics | trace cap | α | quotient cap | ζ | openings | β | FRI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..field import ext
+from ..poly import ntt as pntt
+from ..poly import domain as pdom
+from . import fri, merkle
+from .air import Air, BaseVecAlgebra
+from .challenger import Challenger
+
+P = gl.MODULUS
+
+
+@dataclass(frozen=True)
+class StarkConfig:
+    rate_bits: int = 3
+    num_queries: int = 28
+    final_poly_len: int = 8
+    cap_height: int = 0
+
+    @property
+    def fri_config(self) -> fri.FriConfig:
+        return fri.FriConfig(rate_bits=self.rate_bits, num_queries=self.num_queries,
+                             final_poly_len=self.final_poly_len, cap_height=self.cap_height)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class StarkProof:
+    trace_cap: gl.Fp
+    quotient_cap: gl.Fp
+    trace_zeta: ext.Fp2        # (num_cols,)
+    trace_gzeta: ext.Fp2       # (num_cols,)
+    quotient_zeta: ext.Fp2     # (num_chunks,)
+    fri_proof: fri.FriProof
+    # openings at FRI query positions (a: idx, b: idx + N_lde/2)
+    trace_rows_a: gl.Fp        # (q, num_cols)
+    trace_rows_b: gl.Fp
+    trace_paths_a: gl.Fp       # (q, depth, 4)
+    trace_paths_b: gl.Fp
+    quot_rows_a: gl.Fp         # (q, 2*num_chunks)
+    quot_rows_b: gl.Fp
+    quot_paths_a: gl.Fp
+    quot_paths_b: gl.Fp
+
+
+def _alpha_powers(alpha: ext.Fp2, n: int) -> List[ext.Fp2]:
+    powers = []
+    acc = ext.ones(())
+    for _ in range(n):
+        powers.append(acc)
+        acc = ext.mul(acc, alpha)
+    return powers
+
+
+def _ext_scalar_times_base_vec(s: ext.Fp2, v: gl.Fp) -> ext.Fp2:
+    sb_re = (jnp.broadcast_to(s[0][0], v[0].shape), jnp.broadcast_to(s[0][1], v[0].shape))
+    sb_im = (jnp.broadcast_to(s[1][0], v[0].shape), jnp.broadcast_to(s[1][1], v[0].shape))
+    return gl.mul(sb_re, v), gl.mul(sb_im, v)
+
+
+def _ext_vec_scale(s: ext.Fp2, v: ext.Fp2) -> ext.Fp2:
+    """scalar Fp2 × vector Fp2."""
+    shape = v[0][0].shape
+    sb = ((jnp.broadcast_to(s[0][0], shape), jnp.broadcast_to(s[0][1], shape)),
+          (jnp.broadcast_to(s[1][0], shape), jnp.broadcast_to(s[1][1], shape)))
+    return ext.mul(sb, v)
+
+
+def num_quotient_chunks(air: Air) -> int:
+    return max(air.max_constraint_degree - 1, 1)
+
+
+def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
+          challenger: Challenger | None = None) -> StarkProof:
+    """trace: (num_cols, N) base field; publics: list of scalar Fp."""
+    if challenger is None:
+        challenger = Challenger.new()
+    num_cols, n = trace[0].shape
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    rate = config.rate_bits
+    n_lde = n << rate
+    blowup = 1 << rate
+    g_dom = gl.primitive_root_of_unity(log_n)       # trace-domain generator
+    g_last = pow(g_dom, n - 1, P)
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+
+    # -- 1/2: trace LDE + commitment --------------------------------------
+    trace_lde = pntt.coset_lde(trace, rate)         # (num_cols, N_lde)
+    trace_rows = (trace_lde[0].T, trace_lde[1].T)   # (N_lde, num_cols)
+    trace_tree = merkle.build(trace_rows, cap_height=config.cap_height)
+
+    challenger.observe((jnp.stack([p[0] for p in publics]),
+                        jnp.stack([p[1] for p in publics])))
+    challenger.observe_digests(trace_tree.cap)
+    alpha = challenger.squeeze_ext(1)
+    alpha = ((alpha[0][0][0], alpha[0][1][0]), (alpha[1][0][0], alpha[1][1][0]))
+
+    # -- 3: constraints on the LDE domain ---------------------------------
+    alg = BaseVecAlgebra((n_lde,))
+    local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
+    nxt = [(jnp.roll(trace_lde[0][c], -blowup), jnp.roll(trace_lde[1][c], -blowup))
+           for c in range(num_cols)]
+    ct = air.transition(alg, local, nxt, publics)
+    cf = air.first_row(alg, local, publics)
+    cl = air.last_row(alg, local, publics)
+    n_constraints = len(ct) + len(cf) + len(cl)
+    alphas = _alpha_powers(alpha, n_constraints)
+
+    def _combine(constraints, alphas_slice):
+        acc = ext.zeros((n_lde,))
+        for c, a in zip(constraints, alphas_slice):
+            acc = ext.add(acc, _ext_scalar_times_base_vec(a, c))
+        return acc
+
+    k = 0
+    ct_comb = _combine(ct, alphas[k:k + len(ct)]); k += len(ct)
+    cf_comb = _combine(cf, alphas[k:k + len(cf)]); k += len(cf)
+    cl_comb = _combine(cl, alphas[k:k + len(cl)]); k += len(cl)
+
+    # -- 4: quotient -------------------------------------------------------
+    x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
+    zh = pdom.vanishing_on_coset(log_n, rate, shift)
+    inv_zh = gl.inv(zh)
+    x_minus_glast = gl.sub(x, gl.full((n_lde,), g_last))
+    inv_x_minus_1 = gl.inv(gl.sub(x, gl.ones((n_lde,))))
+    inv_x_minus_glast = gl.inv(x_minus_glast)
+
+    # transition: C_t / ((x^N-1)/(x-g_last)) = C_t * (x-g_last) * inv(x^N-1)
+    q_t = ext.mul_base(ext.mul_base(ct_comb, x_minus_glast), inv_zh)
+    q_f = ext.mul_base(cf_comb, inv_x_minus_1)
+    q_l = ext.mul_base(cl_comb, inv_x_minus_glast)
+    quotient = ext.add(ext.add(q_t, q_f), q_l)       # (N_lde,) Fp2
+
+    # split into degree-N chunks; commit each chunk's coset evals
+    q_coeffs_re = pntt.coset_intt(quotient[0], shift)
+    q_coeffs_im = pntt.coset_intt(quotient[1], shift)
+    n_chunks = num_quotient_chunks(air)
+    chunk_evals_lde = []     # per chunk: Fp2 (N_lde,)
+    chunk_evals_sub = []     # per chunk: Fp2 (N,) subgroup evals (for opening)
+    for i in range(n_chunks):
+        cre = (q_coeffs_re[0][i * n:(i + 1) * n], q_coeffs_re[1][i * n:(i + 1) * n])
+        cim = (q_coeffs_im[0][i * n:(i + 1) * n], q_coeffs_im[1][i * n:(i + 1) * n])
+        chunk_evals_lde.append((pntt.coeffs_to_coset_evals(cre, rate, shift),
+                                pntt.coeffs_to_coset_evals(cim, rate, shift)))
+        chunk_evals_sub.append((pntt.ntt(cre), pntt.ntt(cim)))
+
+    quot_cols_lo = jnp.stack(
+        [c[j][0] for c in chunk_evals_lde for j in (0, 1)])   # (2*chunks, N_lde)
+    quot_cols_hi = jnp.stack(
+        [c[j][1] for c in chunk_evals_lde for j in (0, 1)])
+    quot_rows = (quot_cols_lo.T, quot_cols_hi.T)              # (N_lde, 2*chunks)
+    quot_tree = merkle.build(quot_rows, cap_height=config.cap_height)
+    challenger.observe_digests(quot_tree.cap)
+
+    zeta = challenger.squeeze_ext(1)
+    zeta = ((zeta[0][0][0], zeta[0][1][0]), (zeta[1][0][0], zeta[1][1][0]))
+
+    # -- 5: openings at ζ and g·ζ -----------------------------------------
+    g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
+    trace_zeta = pdom.barycentric_eval(trace, zeta, log_n)     # (num_cols,) Fp2
+    trace_gzeta = pdom.barycentric_eval(trace, g_zeta, log_n)
+
+    quotient_zeta = _open_chunks(chunk_evals_sub, zeta, log_n)
+
+    def obs_ext(v: ext.Fp2):
+        challenger.observe((jnp.concatenate([jnp.atleast_1d(v[0][0]), jnp.atleast_1d(v[1][0])]),
+                            jnp.concatenate([jnp.atleast_1d(v[0][1]), jnp.atleast_1d(v[1][1])])))
+
+    obs_ext(trace_zeta)
+    obs_ext(trace_gzeta)
+    obs_ext(quotient_zeta)
+
+    beta = challenger.squeeze_ext(1)
+    beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
+
+    # -- DEEP composition codeword ----------------------------------------
+    xe = ext.from_base(x)
+    inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, n_lde)))
+    inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))
+
+    n_terms = 2 * num_cols + n_chunks
+    betas = _alpha_powers(beta, n_terms)
+    F = ext.zeros((n_lde,))
+    bi = 0
+    for c in range(num_cols):
+        tv = (trace_lde[0][c], trace_lde[1][c])
+        opening = _pick_ext(trace_zeta, c)
+        diff = ext.sub(ext.from_base(tv), _broadcast_ext(opening, n_lde))
+        F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
+    for c in range(num_cols):
+        tv = (trace_lde[0][c], trace_lde[1][c])
+        opening = _pick_ext(trace_gzeta, c)
+        diff = ext.sub(ext.from_base(tv), _broadcast_ext(opening, n_lde))
+        F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xgz))); bi += 1
+    for i in range(n_chunks):
+        qv = chunk_evals_lde[i]  # already an Fp2: (re_Fp, im_Fp)
+        opening = _pick_ext(quotient_zeta, i)
+        diff = ext.sub(qv, _broadcast_ext(opening, n_lde))
+        F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
+
+    # -- 6: FRI ------------------------------------------------------------
+    fri_proof, indices = fri.prove(F, challenger, config.fri_config)
+
+    # -- 7: trace/quotient openings at query indices ----------------------
+    half = n_lde // 2
+    idx_a = indices
+    idx_b = indices + half
+
+    def open_rows(tree, rows, idx):
+        leaf = (rows[0][idx], rows[1][idx])
+        paths = jax.vmap(lambda i: merkle.prove(tree, i))(idx)
+        return leaf, paths
+
+    tra, tpa = open_rows(trace_tree, trace_rows, idx_a)
+    trb, tpb = open_rows(trace_tree, trace_rows, idx_b)
+    qra, qpa = open_rows(quot_tree, quot_rows, idx_a)
+    qrb, qpb = open_rows(quot_tree, quot_rows, idx_b)
+
+    return StarkProof(
+        trace_cap=trace_tree.cap, quotient_cap=quot_tree.cap,
+        trace_zeta=trace_zeta, trace_gzeta=trace_gzeta,
+        quotient_zeta=quotient_zeta, fri_proof=fri_proof,
+        trace_rows_a=tra, trace_rows_b=trb,
+        trace_paths_a=tpa, trace_paths_b=tpb,
+        quot_rows_a=qra, quot_rows_b=qrb,
+        quot_paths_a=qpa, quot_paths_b=qpb,
+    )
+
+
+def _broadcast_ext(s: ext.Fp2, n: int) -> ext.Fp2:
+    return ((jnp.broadcast_to(s[0][0], (n,)), jnp.broadcast_to(s[0][1], (n,))),
+            (jnp.broadcast_to(s[1][0], (n,)), jnp.broadcast_to(s[1][1], (n,))))
+
+
+def _pick_ext(v: ext.Fp2, i: int) -> ext.Fp2:
+    return ((v[0][0][i], v[0][1][i]), (v[1][0][i], v[1][1][i]))
+
+
+def _open_chunks(chunk_evals_sub, zeta, log_n) -> ext.Fp2:
+    """Open each Fp2 quotient chunk at ζ; returns (n_chunks,) Fp2."""
+    vals = []
+    for re_evals, im_evals in chunk_evals_sub:
+        re_v = pdom.barycentric_eval(re_evals, zeta, log_n)
+        im_v = pdom.barycentric_eval(im_evals, zeta, log_n)
+        a, b = re_v
+        c, d = im_v
+        vals.append((gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c)))
+    re_lo = jnp.stack([v[0][0] for v in vals])
+    re_hi = jnp.stack([v[0][1] for v in vals])
+    # vals[i] is (re: Fp, im: Fp)?? — no: vals[i] = (re_part, im_part) packed
+    # as (Fp, Fp); rebuild the Fp2 vector:
+    im_lo = jnp.stack([v[1][0] for v in vals])
+    im_hi = jnp.stack([v[1][1] for v in vals])
+    return ((re_lo, re_hi), (im_lo, im_hi))

@@ -1,0 +1,160 @@
+"""DEEP-ALI STARK verifier — mirrors prover.py's transcript exactly.
+
+Checks, all under one jit:
+  1. ALI at ζ: the AIR constraints evaluated at the opened trace values,
+     combined with α-powers and divided by the vanishing polys, must equal
+     the opened quotient Q(ζ) = Σ ζ^{iN}·chunk_i(ζ).
+  2. Merkle membership of every opened trace/quotient row at the FRI query
+     positions (both halves of each FRI leaf pair).
+  3. The FRI layer-0 codeword values equal the DEEP composition recomputed
+     from the opened rows.
+  4. The FRI fold/final-poly consistency (fri.verify).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..field import ext
+from ..poly import domain as pdom
+from . import fri, merkle
+from .air import Air, ExtAlgebra
+from .challenger import Challenger
+from .prover import (StarkConfig, StarkProof, _alpha_powers, _broadcast_ext,
+                     _ext_vec_scale, _pick_ext, num_quotient_chunks)
+
+P = gl.MODULUS
+
+
+def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
+           config: StarkConfig, challenger: Challenger | None = None) -> jax.Array:
+    if challenger is None:
+        challenger = Challenger.new()
+    num_cols = air.num_cols
+    n = 1 << log_n
+    rate = config.rate_bits
+    n_lde = n << rate
+    log_n_lde = log_n + rate
+    n_chunks = num_quotient_chunks(air)
+    g_dom = gl.primitive_root_of_unity(log_n)
+    g_last = pow(g_dom, n - 1, P)
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    q = config.num_queries
+
+    # -- transcript replay -------------------------------------------------
+    challenger.observe((jnp.stack([p[0] for p in publics]),
+                        jnp.stack([p[1] for p in publics])))
+    challenger.observe_digests(proof.trace_cap)
+    alpha = challenger.squeeze_ext(1)
+    alpha = ((alpha[0][0][0], alpha[0][1][0]), (alpha[1][0][0], alpha[1][1][0]))
+    challenger.observe_digests(proof.quotient_cap)
+    zeta = challenger.squeeze_ext(1)
+    zeta = ((zeta[0][0][0], zeta[0][1][0]), (zeta[1][0][0], zeta[1][1][0]))
+
+    def obs_ext(v):
+        challenger.observe((jnp.concatenate([jnp.atleast_1d(v[0][0]), jnp.atleast_1d(v[1][0])]),
+                            jnp.concatenate([jnp.atleast_1d(v[0][1]), jnp.atleast_1d(v[1][1])])))
+
+    obs_ext(proof.trace_zeta)
+    obs_ext(proof.trace_gzeta)
+    obs_ext(proof.quotient_zeta)
+    beta = challenger.squeeze_ext(1)
+    beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
+
+    # -- 1: ALI consistency at ζ ------------------------------------------
+    alg = ExtAlgebra()
+    local = [_pick_ext(proof.trace_zeta, c) for c in range(num_cols)]
+    nxt = [_pick_ext(proof.trace_gzeta, c) for c in range(num_cols)]
+    ct = air.transition(alg, local, nxt, publics)
+    cf = air.first_row(alg, local, publics)
+    cl = air.last_row(alg, local, publics)
+    alphas = _alpha_powers(alpha, len(ct) + len(cf) + len(cl))
+
+    def comb(cs, als):
+        acc = ext.zeros(())
+        for c, a in zip(cs, als):
+            acc = ext.add(acc, ext.mul(a, c))
+        return acc
+
+    k = 0
+    ct_c = comb(ct, alphas[k:k + len(ct)]); k += len(ct)
+    cf_c = comb(cf, alphas[k:k + len(cf)]); k += len(cf)
+    cl_c = comb(cl, alphas[k:k + len(cl)]); k += len(cl)
+
+    zeta_n = ext.pow_const(zeta, n)
+    one = ext.ones(())
+    zh = ext.sub(zeta_n, one)                         # ζ^N - 1
+    zeta_m_glast = ext.sub(zeta, ext.from_base(gl.full((), g_last)))
+    zeta_m_1 = ext.sub(zeta, one)
+
+    expected_q = ext.add(
+        ext.add(
+            ext.mul(ext.mul(ct_c, zeta_m_glast), ext.inv(zh)),
+            ext.mul(cf_c, ext.inv(zeta_m_1))),
+        ext.mul(cl_c, ext.inv(zeta_m_glast)))
+
+    opened_q = ext.zeros(())
+    for i in range(n_chunks):
+        zpow = ext.pow_const(zeta_n, i) if i > 0 else one
+        opened_q = ext.add(opened_q, ext.mul(zpow, _pick_ext(proof.quotient_zeta, i)))
+
+    ok = jnp.all(ext.eq(expected_q, opened_q))
+
+    # -- 4: FRI (also yields query indices + layer-0 values) ---------------
+    fri_ok, indices, layer0 = fri.verify(proof.fri_proof, log_n_lde,
+                                         challenger, config.fri_config)
+    ok = ok & fri_ok
+    a_vals, b_vals, leaf_idx = layer0    # F(x) at idx and idx+half
+
+    # -- 2: Merkle membership of openings ----------------------------------
+    half = n_lde // 2
+    idx_a = indices
+    idx_b = indices + half
+
+    def check_rows(cap, idx, rows, paths):
+        def one_check(i, r_lo, r_hi, p_lo, p_hi):
+            return merkle.verify(cap, i, (r_lo, r_hi), (p_lo, p_hi))
+        return jnp.all(jax.vmap(one_check)(idx, rows[0], rows[1],
+                                           paths[0], paths[1]))
+
+    ok = ok & check_rows(proof.trace_cap, idx_a, proof.trace_rows_a, proof.trace_paths_a)
+    ok = ok & check_rows(proof.trace_cap, idx_b, proof.trace_rows_b, proof.trace_paths_b)
+    ok = ok & check_rows(proof.quotient_cap, idx_a, proof.quot_rows_a, proof.quot_paths_a)
+    ok = ok & check_rows(proof.quotient_cap, idx_b, proof.quot_rows_b, proof.quot_paths_b)
+
+    # -- 3: DEEP composition recomputation at query points ------------------
+    x_all = pdom.domain_points(log_n_lde, shift)
+    g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
+
+    def deep_at(idx, trace_rows, quot_rows):
+        x = (x_all[0][idx], x_all[1][idx])            # (q,) base
+        xe = ext.from_base(x)
+        inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, q)))
+        inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, q)))
+        betas = _alpha_powers(beta, 2 * num_cols + n_chunks)
+        F = ext.zeros((q,))
+        bi = 0
+        for c in range(num_cols):
+            tv = (trace_rows[0][:, c], trace_rows[1][:, c])
+            diff = ext.sub(ext.from_base(tv), _broadcast_ext(_pick_ext(proof.trace_zeta, c), q))
+            F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
+        for c in range(num_cols):
+            tv = (trace_rows[0][:, c], trace_rows[1][:, c])
+            diff = ext.sub(ext.from_base(tv), _broadcast_ext(_pick_ext(proof.trace_gzeta, c), q))
+            F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xgz))); bi += 1
+        for i in range(n_chunks):
+            qv = ((quot_rows[0][:, 2 * i], quot_rows[1][:, 2 * i]),
+                  (quot_rows[0][:, 2 * i + 1], quot_rows[1][:, 2 * i + 1]))
+            diff = ext.sub(qv, _broadcast_ext(_pick_ext(proof.quotient_zeta, i), q))
+            F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
+        return F
+
+    F_a = deep_at(idx_a, proof.trace_rows_a, proof.quot_rows_a)
+    F_b = deep_at(idx_b, proof.trace_rows_b, proof.quot_rows_b)
+    ok = ok & jnp.all(ext.eq(F_a, a_vals)) & jnp.all(ext.eq(F_b, b_vals))
+
+    return ok
