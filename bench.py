@@ -33,15 +33,22 @@ def main():
     hi = jnp.asarray(rng.integers(0, 1 << 31, size=(BATCH, n), dtype=np.uint32))
     x = (lo, hi)
 
-    fwd = jax.jit(lambda v: pntt.ntt(v))
-    out = fwd(x)
-    out[0].block_until_ready()  # compile + warmup
+    # Reduce on-device and fetch the scalar to host each iteration: on the
+    # axon backend block_until_ready is not a reliable completion barrier,
+    # and XLA could serve repeated identical inputs from cache — so vary the
+    # input per iteration and use the host fetch as the barrier.
+    fwd = jax.jit(lambda v, k: jax.tree.map(
+        lambda a: a.sum(), pntt.ntt((v[0] ^ k, v[1]))))
+    r = fwd(x, jnp.uint32(0))
+    np.asarray(r[0])  # compile + warmup
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(x)
-    out[0].block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        r = fwd(x, jnp.uint32(i + 1))
+        np.asarray(r[0])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
     pts_per_s = BATCH * n / dt
     print(json.dumps({

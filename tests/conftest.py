@@ -18,8 +18,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the prover graphs are large; caching makes
-# repeat test runs (and the driver's pytest invocation) much faster.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NB: do NOT enable the persistent compilation cache here — on this host the
+# XLA:CPU AOT entries record machine features that fail to match at load
+# time ("+prefer-no-scatter ... doesn't match"), so every cache hit turns
+# into a failed load + recompile, much slower than no cache at all.

@@ -84,13 +84,26 @@ def inv(x: Fp2) -> Fp2:
 
 
 def pow_const(x: Fp2, e: int) -> Fp2:
-    result = ones(x[0][0].shape)
-    base = x
-    while e > 0:
-        if e & 1:
-            result = mul(result, base)
-        base = square(base)
-        e >>= 1
+    """x ** e; scans for large exponents (see goldilocks.pow_const)."""
+    if e < (1 << 8):
+        result = ones(x[0][0].shape)
+        base = x
+        while e > 0:
+            if e & 1:
+                result = mul(result, base)
+            base = square(base)
+            e >>= 1
+        return result
+
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+
+    def body(carry, bit):
+        result, base = carry
+        result = select(bit == 1, mul(result, base), result)
+        return (result, square(base)), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(x[0][0].shape), x), bits)
     return result
 
 

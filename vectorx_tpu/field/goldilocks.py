@@ -256,14 +256,32 @@ def mul_scalar(a: Fp, k: int) -> Fp:
 
 
 def pow_const(a: Fp, e: int) -> Fp:
-    """a ** e for a Python-int exponent (square-and-multiply, unrolled)."""
-    result = ones(a[0].shape)
-    base = a
-    while e > 0:
-        if e & 1:
-            result = mul(result, base)
-        base = square(base)
-        e >>= 1
+    """a ** e for a Python-int exponent.
+
+    Small exponents unroll (lets XLA fold constants); large ones run a
+    square-and-multiply lax.scan so the trace stays ~100 primitives instead
+    of ~6k (a fully-unrolled 64-bit Fermat chain dominates whole-protocol
+    graphs otherwise).
+    """
+    if e < (1 << 8):
+        result = ones(a[0].shape)
+        base = a
+        while e > 0:
+            if e & 1:
+                result = mul(result, base)
+            base = square(base)
+            e >>= 1
+        return result
+
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.uint32)
+
+    def body(carry, bit):
+        result, base = carry
+        result = select(bit == 1, mul(result, base), result)
+        return (result, square(base)), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(a[0].shape), a), bits)
     return result
 
 
@@ -288,10 +306,16 @@ def sum_mod(a: Fp, axis: int = -1) -> Fp:
     n = a[0].shape[axis]
     assert n <= (1 << 15), "sum_mod: too many terms for 16-bit carry-save"
     m16 = _u32(0xFFFF)
-    s0 = jnp.sum(a[0] & m16, axis=axis, dtype=jnp.uint32)
-    s1 = jnp.sum(a[0] >> _u32(16), axis=axis, dtype=jnp.uint32)
-    s2 = jnp.sum(a[1] & m16, axis=axis, dtype=jnp.uint32)
-    s3 = jnp.sum(a[1] >> _u32(16), axis=axis, dtype=jnp.uint32)
+
+    def _sum16(x):
+        # Mosaic has no unsigned reductions; columns are < 2^31 so an int32
+        # sum is exact. astype is value-preserving here.
+        return jnp.sum(x.astype(jnp.int32), axis=axis).astype(jnp.uint32)
+
+    s0 = _sum16(a[0] & m16)
+    s1 = _sum16(a[0] >> _u32(16))
+    s2 = _sum16(a[1] & m16)
+    s3 = _sum16(a[1] >> _u32(16))
     # value = s0 + s1*2^16 + s2*2^32 + s3*2^48, each s_k < 2^31
     lo = s0 + (s1 << _u32(16))
     c0 = (lo < s0).astype(_U32)

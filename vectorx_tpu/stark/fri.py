@@ -272,10 +272,8 @@ def verify(proof: FriProof, log_n: int, challenger: Challenger, config: FriConfi
         leaf = proof.query_leaves[layer]   # (q, 4)
         paths = proof.query_paths[layer]   # (q, depth, 4)
 
-        # Merkle check
-        def check_one(i, row_lo, row_hi, p_lo, p_hi, cap=proof.caps[layer]):
-            return merkle.verify(cap, i, (row_lo, row_hi), (p_lo, p_hi))
-        mok = jax.vmap(check_one)(layer_idx, leaf[0], leaf[1], paths[0], paths[1])
+        # Merkle check (batched across queries)
+        mok = merkle.verify_batch(proof.caps[layer], layer_idx, leaf, paths)
         ok = ok & jnp.all(mok)
 
         a = ((leaf[0][:, 0], leaf[1][:, 0]), (leaf[0][:, 1], leaf[1][:, 1]))  # f(x)

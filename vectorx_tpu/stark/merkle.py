@@ -77,6 +77,29 @@ def prove(tree: MerkleTree, index) -> Digest:
     return jnp.stack(sib_lo), jnp.stack(sib_hi)
 
 
+def verify_batch(cap: Digest, indices: jax.Array, leaf_rows: gl.Fp,
+                 paths: Digest) -> jax.Array:
+    """Batched path verification — (q,) indices, (q, w) rows, (q, depth, 4)
+    paths -> (q,) bools.
+
+    One batched Poseidon call per level (NOT a vmap over scalar verifies:
+    vmap would inline the permute's jaxpr per query and blow up
+    trace/compile size ~10x).
+    """
+    digest = ps.hash_many(leaf_rows)  # (q, 4)
+    idx = jnp.asarray(indices, jnp.int32)
+    depth = paths[0].shape[1]
+    for d in range(depth):
+        sib = (paths[0][:, d], paths[1][:, d])  # (q, 4)
+        is_right = ((idx & 1) == 1)[:, None]
+        left = gl.select(is_right, sib, digest)
+        right = gl.select(is_right, digest, sib)
+        digest = ps.hash_two_to_one(left, right)
+        idx = idx >> 1
+    cap_entry = (cap[0][idx], cap[1][idx])
+    return jnp.all(gl.eq(digest, cap_entry), axis=-1)
+
+
 def verify(cap: Digest, index, leaf_row: gl.Fp, path: Digest) -> jax.Array:
     """Recompute root from a leaf row + sibling path; check against the cap.
 

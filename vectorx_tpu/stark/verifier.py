@@ -116,10 +116,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     idx_b = indices + half
 
     def check_rows(cap, idx, rows, paths):
-        def one_check(i, r_lo, r_hi, p_lo, p_hi):
-            return merkle.verify(cap, i, (r_lo, r_hi), (p_lo, p_hi))
-        return jnp.all(jax.vmap(one_check)(idx, rows[0], rows[1],
-                                           paths[0], paths[1]))
+        return jnp.all(merkle.verify_batch(cap, idx, rows, paths))
 
     ok = ok & check_rows(proof.trace_cap, idx_a, proof.trace_rows_a, proof.trace_paths_a)
     ok = ok & check_rows(proof.trace_cap, idx_b, proof.trace_rows_b, proof.trace_paths_b)
