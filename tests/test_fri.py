@@ -19,12 +19,10 @@ CFG = fri.FriConfig(rate_bits=RATE_BITS, num_queries=10, final_poly_len=8, cap_h
 import jax
 
 
-@jax.jit
 def _prove(cw):
     return fri.prove(cw, Challenger.new(), CFG)[0]
 
 
-@jax.jit
 def _verify(proof):
     return fri.verify(proof, LOG_N, Challenger.new(), CFG)
 

@@ -19,12 +19,12 @@ def _publics_fp(publics):
     return [gl.to_fp(p) for p in publics]
 
 
-@jax.jit
 def _prove(trace, publics):
+    # eager orchestration over jitted phases (whole-graph jit compiles for
+    # minutes on this 2-core host; phase jits are shared + cached)
     return prover.prove(AIR, trace, publics, CFG)
 
 
-@jax.jit
 def _verify(proof, publics):
     return verifier.verify(AIR, proof, publics, LOG_N, CFG)
 

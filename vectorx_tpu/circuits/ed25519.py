@@ -103,6 +103,7 @@ def point_select(mask: jax.Array, p: Point, q: Point) -> Point:
                  fe.select(mask, p.z, q.z), fe.select(mask, p.t, q.t))
 
 
+@jax.jit
 def scalar_mul(p: Point, bits: jax.Array) -> Point:
     """[k]P with k given as (..., 256) LSB-first bits (uint32 0/1)."""
     shape = p.x.shape[:-1]
@@ -140,6 +141,7 @@ def limbs_to_bytes_le(l: jax.Array) -> jax.Array:
     return jnp.stack([lo, hi], axis=-1).reshape(l.shape[:-1] + (32,))
 
 
+@jax.jit
 def decompress(compressed: jax.Array) -> Tuple[Point, jax.Array]:
     """(..., 32) uint8 compressed points -> (Point, valid flag)."""
     sign = (compressed[..., 31] >> 7).astype(jnp.uint32)
@@ -169,8 +171,9 @@ def decompress(compressed: jax.Array) -> Tuple[Point, jax.Array]:
     x_is_zero = fe.is_zero(x)
     valid = valid & ~(x_is_zero & (sign == 1))
 
-    # choose sign
-    x_neg = fe.sub(fe.zeros(shape), x)
+    # choose sign (parity needs the canonical representative)
+    x = fe.canonicalize(fe.canonicalize(x))
+    x_neg = fe.canonicalize(fe.canonicalize(fe.sub(fe.zeros(shape), x)))
     wrong_sign = (x[..., 0] & jnp.uint32(1)) != sign
     x = fe.select(wrong_sign, x_neg, x)
 
@@ -183,7 +186,6 @@ def point_eq(p: Point, q: Point) -> jax.Array:
             & fe.eq(fe.mul(p.y, q.z), fe.mul(q.y, p.z)))
 
 
-@jax.jit
 def verify_batch(pubkeys: jax.Array, r_bytes: jax.Array, s_bytes: jax.Array,
                  h_bytes: jax.Array, enabled: jax.Array) -> jax.Array:
     """Batched cofactorless EdDSA check.
@@ -191,6 +193,10 @@ def verify_batch(pubkeys: jax.Array, r_bytes: jax.Array, s_bytes: jax.Array,
     pubkeys/r_bytes/s_bytes/h_bytes: (n, 32) uint8 (h = SHA512(R||A||M) mod L,
     LE). enabled: (n,) bool — disabled lanes return True (the reference's
     conditional-verification semantics for padding signatures).
+
+    Eager orchestration over jitted stages: scalar_mul compiles ONCE and is
+    reused for both [s]B and [h]A (a monolithic jit of the whole check
+    compiles for tens of minutes on a small host).
     """
     a_pt, a_ok = decompress(pubkeys)
     r_pt, r_ok = decompress(r_bytes)

@@ -85,7 +85,7 @@ def inv(x: Fp2) -> Fp2:
 
 def pow_const(x: Fp2, e: int) -> Fp2:
     """x ** e; scans for large exponents (see goldilocks.pow_const)."""
-    if e < (1 << 8):
+    if e < (1 << 4):
         result = ones(x[0][0].shape)
         base = x
         while e > 0:

@@ -12,7 +12,7 @@ All public functions keep elements **canonical** (< p) unless noted.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -45,6 +45,7 @@ def to_limbs(values) -> jax.Array:
 
 
 def from_limbs(x: jax.Array) -> np.ndarray:
+    """Limbs -> canonical Python ints (reduces: ring values are lazy)."""
     arr = np.asarray(x, dtype=np.uint64)
     out = np.zeros(arr.shape[:-1], dtype=np.object_)
     it = np.nditer(out, flags=["multi_index", "refs_ok"], op_flags=["readwrite"])
@@ -52,7 +53,7 @@ def from_limbs(x: jax.Array) -> np.ndarray:
         val = 0
         for i in reversed(range(NLIMB)):
             val = (val << 16) | int(arr[it.multi_index + (i,)])
-        out[it.multi_index] = val
+        out[it.multi_index] = val % P25519
     return out
 
 
@@ -139,69 +140,67 @@ def canonicalize(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def add(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Lazy modular add: 16-bit limbs out, value < 2^256."""
     limbs, carry = _carry_chain(a + b)
-    return canonicalize(_fold_carry(limbs, carry))
+    return _fold_carry(limbs, carry)
 
 
 def sub(a: jax.Array, b: jax.Array) -> jax.Array:
-    # a - b + 2p (2p fits 257 bits; go via columns then fold)
-    two_p = const(a.shape[:-1], 2 * P25519 % (1 << 256))
-    # 2p = 2^256 - 38: represent directly: add a + (2^256-38-b)... simpler:
-    # columns = a + (2p limbs) - b elementwise can underflow; instead:
-    # c_i = a_i + twop_i - b_i where twop limbs chosen so twop_i >= 0xFFFF?
-    # Use: a_i + 0x1FFFE? Cleaner: a + (p2 - b) with p2 = 2p as limb array
-    # of 17 bits... do it arithmetically in uint32 columns:
-    tp = np.array([((2 * P25519) >> (16 * i)) & 0xFFFF for i in range(NLIMB)],
-                  dtype=np.uint32)
-    # borrow-free: a_i + tp_i + 0x10000*k... use signed trick: compute
-    # cols = a_i + tp_i - b_i + 0x10000 - borrow-chain handles it since
-    # a_i + tp_i + 0x10000 - b_i >= 0 always; subtract the injected 2^16
-    # by seeding the next column with -1... Simplest correct approach:
+    """Lazy modular subtract: a - b + 4p (4p > 2^256 > b), signed carries."""
+    # 4p limb columns (17 bits in the top column is fine: columns are u32)
+    tp = np.zeros(NLIMB, dtype=np.uint32)
+    fourp = 4 * P25519
+    for i in range(NLIMB):
+        tp[i] = (fourp >> (16 * i)) & 0xFFFF
+    tp[NLIMB - 1] |= (fourp >> (16 * NLIMB)) << 16  # keep the 2^256 part
     cols = a.astype(jnp.uint32) + jnp.asarray(tp) - b.astype(jnp.uint32)
-    # each col in [-(2^16-1), 2^17): as uint32 wrapping, but carries fix it:
+    # columns may be "negative" (wrapped); signed arithmetic-shift carries
     limbs = []
     carry = jnp.zeros_like(cols[..., 0])
     for i in range(NLIMB):
         v = cols[..., i] + carry
         limbs.append(v & _M16)
-        # arithmetic shift: v may be "negative" (wrapped); interpret as int32
         carry = (v.astype(jnp.int32) >> 16).astype(jnp.uint32)
     out = jnp.stack(limbs, axis=-1)
-    # 2p - b + a < 3p < 2^257; top carry (0/1) folds via 2^256 ≡ 38
-    return canonicalize(_fold_carry(out, carry))
+    # a - b + 4p < 2^256 + 4p < 2^258; top carry <= 5 folds via 2^256 ≡ 38
+    return _fold_carry(out, carry)
 
 
 def neg(a: jax.Array) -> jax.Array:
     return sub(zeros(a.shape[:-1]), a)
 
 
+@lru_cache(maxsize=None)
+def _column_matrix() -> np.ndarray:
+    """(512, 32) 0/1 int32: maps [lo_flat(256) | hi_flat(256)] product halves
+    onto their 2^16-weighted columns (hi parts land one column higher)."""
+    m = np.zeros((2 * NLIMB * NLIMB, 2 * NLIMB), dtype=np.int32)
+    for i in range(NLIMB):
+        for j in range(NLIMB):
+            m[i * NLIMB + j, i + j] = 1
+            m[NLIMB * NLIMB + i * NLIMB + j, i + j + 1] = 1
+    return m
+
+
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Canonical modular multiply via limb outer product + diagonal sums."""
+    """Modular multiply: limb outer product, columns via ONE integer matmul
+    (the TPU MXU-shaped path), carry-save fold. Output is 16-bit limbs,
+    value < 2^256 (lazily reduced — see canonicalize)."""
     prod = a[..., :, None] * b[..., None, :]        # (..., 16, 16) < 2^32
-    lo = prod & _M16
-    hi = prod >> jnp.uint32(16)
-    lo_f = jnp.flip(lo, axis=-1)                    # j -> 15-j
-    hi_f = jnp.flip(hi, axis=-1)
-
-    def diag_sum(m, k):
-        # sum over i+j=k: in the flipped matrix j'=15-j, so i-j' = k-15,
-        # i.e. elements m[i, i+o] with o = 15-k
-        d = jnp.diagonal(m, offset=(NLIMB - 1) - k, axis1=-2, axis2=-1)
-        return jnp.sum(d, axis=-1, dtype=jnp.uint32)
-
-    cols = []
-    for k in range(2 * NLIMB):
-        c = jnp.zeros(a.shape[:-1], jnp.uint32)
-        if k <= 2 * (NLIMB - 1):
-            c = c + diag_sum(lo_f, k)
-        if 1 <= k <= 2 * NLIMB - 1:
-            c = c + diag_sum(hi_f, k - 1)
-        cols.append(c)                               # < 32*2^16*2 < 2^22
+    lo = (prod & _M16).astype(jnp.int32)
+    hi = (prod >> jnp.uint32(16)).astype(jnp.int32)
+    lead = prod.shape[:-2]
+    flat = jnp.concatenate([lo.reshape(lead + (NLIMB * NLIMB,)),
+                            hi.reshape(lead + (NLIMB * NLIMB,))], axis=-1)
+    cols = jax.lax.dot_general(
+        flat, jnp.asarray(_column_matrix()),
+        dimension_numbers=(((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.uint32)  # (..., 32) < 2^25
 
     # fold columns >= 16: 2^(16k) = 2^(16(k-16)) * 2^256 ≡ 38 * 2^(16(k-16))
-    folded = [cols[k] + cols[k + NLIMB] * jnp.uint32(38) for k in range(NLIMB)]
-    limbs, carry = _carry_chain(jnp.stack(folded, axis=-1))
-    return canonicalize(_fold_carry(limbs, carry))
+    folded = cols[..., :NLIMB] + cols[..., NLIMB:] * jnp.uint32(38)
+    limbs, carry = _carry_chain(folded)
+    return _fold_carry(limbs, carry)
 
 
 def square(a: jax.Array) -> jax.Array:
@@ -214,9 +213,10 @@ def mul_small(a: jax.Array, k: int) -> jax.Array:
         return mul(a, const(a.shape[:-1], k))
     cols = a * jnp.uint32(k)
     limbs, carry = _carry_chain(cols)
-    return canonicalize(_fold_carry(limbs, carry))
+    return _fold_carry(limbs, carry)
 
 
+@partial(jax.jit, static_argnames=("k",))
 def pow2k(a: jax.Array, k: int) -> jax.Array:
     """a^(2^k) — k squarings under a scan (flat trace)."""
     def body(x, _):
@@ -281,11 +281,12 @@ def pow_p58(a: jax.Array) -> jax.Array:
 
 
 def eq(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.all(a == b, axis=-1)
+    """Equality mod p (canonicalizes both sides: values are lazily reduced)."""
+    return jnp.all(canonicalize(a) == canonicalize(b), axis=-1)
 
 
 def is_zero(a: jax.Array) -> jax.Array:
-    return jnp.all(a == 0, axis=-1)
+    return jnp.all(canonicalize(a) == 0, axis=-1)
 
 
 def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:

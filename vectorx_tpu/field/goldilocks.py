@@ -263,7 +263,7 @@ def pow_const(a: Fp, e: int) -> Fp:
     of ~6k (a fully-unrolled 64-bit Fermat chain dominates whole-protocol
     graphs otherwise).
     """
-    if e < (1 << 8):
+    if e < (1 << 4):
         result = ones(a[0].shape)
         base = a
         while e > 0:

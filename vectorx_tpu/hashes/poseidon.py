@@ -209,6 +209,7 @@ def permute(state: gl.Fp) -> gl.Fp:
     return state
 
 
+@jax.jit
 def hash_two_to_one(left: gl.Fp, right: gl.Fp) -> gl.Fp:
     """Merkle 2-to-1 compression: (...,4),(...,4) -> (...,4)."""
     lo = jnp.concatenate(
@@ -221,6 +222,7 @@ def hash_two_to_one(left: gl.Fp, right: gl.Fp) -> gl.Fp:
     return out[0][..., :DIGEST_WIDTH], out[1][..., :DIGEST_WIDTH]
 
 
+@jax.jit
 def hash_many(inputs: gl.Fp) -> gl.Fp:
     """Sponge (overwrite mode) over the last axis: (..., n) -> (..., 4).
 

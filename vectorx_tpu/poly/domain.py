@@ -39,6 +39,7 @@ def domain_points(log_n: int, shift: int = 1) -> gl.Fp:
     return pts
 
 
+@partial(jax.jit, static_argnames=("log_n", "shift"))
 def barycentric_eval(evals: gl.Fp, zeta: ext.Fp2, log_n: int, shift: int = 1) -> ext.Fp2:
     """Evaluate polys from their subgroup/coset evals at an out-of-domain point.
 

@@ -1,3 +1,3 @@
-from . import store, operator, indexer, dummy
+from . import store, operator, indexer, dummy, events, tools
 
-__all__ = ["store", "operator", "indexer", "dummy"]
+__all__ = ["store", "operator", "indexer", "dummy", "events", "tools"]

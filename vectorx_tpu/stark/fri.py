@@ -27,7 +27,7 @@ openings.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import jax
@@ -139,6 +139,7 @@ def _pack_leaves(cw: ext.Fp2) -> gl.Fp:
     return lo, hi
 
 
+@partial(jax.jit, static_argnames=("log_n0", "layer"))
 def fold(cw: ext.Fp2, beta: ext.Fp2, log_n0: int, layer: int) -> ext.Fp2:
     """One FRI fold: (N,) codeword -> (N/2,) on the squared domain."""
     n = cw[0][0].shape[0]

@@ -188,11 +188,29 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     zeta = ((zeta[0][0][0], zeta[0][1][0]), (zeta[1][0][0], zeta[1][1][0]))
 
     # -- 5: openings at ζ and g·ζ -----------------------------------------
+    # one batched barycentric evaluation at ζ for trace columns AND all
+    # quotient-chunk components (they share the domain, so the (ζ - x_j)
+    # inverses and prefactor are computed once)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
-    trace_zeta = pdom.barycentric_eval(trace, zeta, log_n)     # (num_cols,) Fp2
+    stack_lo = jnp.concatenate(
+        [trace[0]] + [c[j][0][None, :] for c in chunk_evals_sub for j in (0, 1)])
+    stack_hi = jnp.concatenate(
+        [trace[1]] + [c[j][1][None, :] for c in chunk_evals_sub for j in (0, 1)])
+    opened = pdom.barycentric_eval((stack_lo, stack_hi), zeta, log_n)
+    trace_zeta = ((opened[0][0][:num_cols], opened[0][1][:num_cols]),
+                  (opened[1][0][:num_cols], opened[1][1][:num_cols]))
     trace_gzeta = pdom.barycentric_eval(trace, g_zeta, log_n)
 
-    quotient_zeta = _open_chunks(chunk_evals_sub, zeta, log_n)
+    # recombine chunk components: value = re_v + u*im_v, u^2 = W
+    qv = []
+    for i in range(n_chunks):
+        re_v = _pick_ext(opened, num_cols + 2 * i)
+        im_v = _pick_ext(opened, num_cols + 2 * i + 1)
+        a, b = re_v
+        c, d = im_v
+        qv.append((gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c)))
+    quotient_zeta = ((jnp.stack([v[0][0] for v in qv]), jnp.stack([v[0][1] for v in qv])),
+                     (jnp.stack([v[1][0] for v in qv]), jnp.stack([v[1][1] for v in qv])))
 
     def obs_ext(v: ext.Fp2):
         challenger.observe((jnp.concatenate([jnp.atleast_1d(v[0][0]), jnp.atleast_1d(v[1][0])]),
@@ -268,19 +286,4 @@ def _pick_ext(v: ext.Fp2, i: int) -> ext.Fp2:
     return ((v[0][0][i], v[0][1][i]), (v[1][0][i], v[1][1][i]))
 
 
-def _open_chunks(chunk_evals_sub, zeta, log_n) -> ext.Fp2:
-    """Open each Fp2 quotient chunk at ζ; returns (n_chunks,) Fp2."""
-    vals = []
-    for re_evals, im_evals in chunk_evals_sub:
-        re_v = pdom.barycentric_eval(re_evals, zeta, log_n)
-        im_v = pdom.barycentric_eval(im_evals, zeta, log_n)
-        a, b = re_v
-        c, d = im_v
-        vals.append((gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c)))
-    re_lo = jnp.stack([v[0][0] for v in vals])
-    re_hi = jnp.stack([v[0][1] for v in vals])
-    # vals[i] is (re: Fp, im: Fp)?? — no: vals[i] = (re_part, im_part) packed
-    # as (Fp, Fp); rebuild the Fp2 vector:
-    im_lo = jnp.stack([v[1][0] for v in vals])
-    im_hi = jnp.stack([v[1][1] for v in vals])
-    return ((re_lo, re_hi), (im_lo, im_hi))
+
