@@ -104,8 +104,8 @@ def point_select(mask: jax.Array, p: Point, q: Point) -> Point:
 
 
 @jax.jit
-def scalar_mul(p: Point, bits: jax.Array) -> Point:
-    """[k]P with k given as (..., 256) LSB-first bits (uint32 0/1)."""
+def scalar_mul_binary(p: Point, bits: jax.Array) -> Point:
+    """[k]P, binary double-and-add (reference path; 256 dbl + 256 cond-add)."""
     shape = p.x.shape[:-1]
     acc = identity(shape)
 
@@ -117,6 +117,45 @@ def scalar_mul(p: Point, bits: jax.Array) -> Point:
         return (acc, base), None
 
     (acc, _), _ = jax.lax.scan(body, (acc, p), jnp.moveaxis(bits, -1, 0))
+    return acc
+
+
+@jax.jit
+def scalar_mul(p: Point, bits: jax.Array) -> Point:
+    """[k]P via a 4-bit window: 15-entry table then 64 x (4 dbl + 1 add).
+
+    ~1.7x fewer field muls than the binary ladder, and the per-digit table
+    lookup is a batched gather (TPU-friendly). bits: (..., 256) LSB-first.
+    """
+    shape = p.x.shape[:-1]
+
+    # table T[k] = [k]P, k = 0..15 (T[0] = identity), built under a scan
+    # so the trace stays one point-add body
+    def tbl_body(prev, _):
+        nxt = point_add(prev, p)
+        return nxt, prev
+
+    _, entries = jax.lax.scan(tbl_body, identity(shape), None, length=16)
+    table = Point(entries.x, entries.y, entries.z, entries.t)  # (16, ..., 16)
+
+    # 4-bit digits, MSB-first
+    b4 = bits.reshape(bits.shape[:-1] + (64, 4)).astype(jnp.uint32)
+    digits = (b4[..., 0] | (b4[..., 1] << 1) | (b4[..., 2] << 2)
+              | (b4[..., 3] << 3))                    # (..., 64) LSB-first
+    digits = jnp.flip(digits, axis=-1)                # MSB-first
+
+    def lookup(d):
+        idx = d[None, ..., None]                       # (1, ..., 1)
+        return Point(*[jnp.take_along_axis(getattr(table, f),
+                                           idx.astype(jnp.int32), axis=0)[0]
+                       for f in ("x", "y", "z", "t")])
+
+    def body(acc, d):
+        for _ in range(4):
+            acc = point_double(acc)
+        return point_add(acc, lookup(d)), None
+
+    acc, _ = jax.lax.scan(body, identity(shape), jnp.moveaxis(digits, -1, 0))
     return acc
 
 

@@ -89,29 +89,45 @@ class Air:
     Conventions:
     - ``local``/``next_row`` are lists of ring elements, one per column.
     - ``publics`` is a list of Fp scalars (shape ()); use ``alg.lift``.
+    - ``consts``/``consts_next`` are lists of ring elements for the AIR's
+      *public constant columns* (``constant_columns``): known to both
+      sides, interpolated over the trace domain, NOT committed — the
+      verifier evaluates them itself (selector/round-constant polynomials,
+      e.g. the SHA-256 round constants).
     - every constraint must have total degree <= max_constraint_degree.
     """
 
     num_cols: int = 0
     max_constraint_degree: int = 3
 
-    def transition(self, alg, local: List, next_row: List, publics: List) -> List:
+    def constant_columns(self, n_rows: int):
+        """-> (k, n_rows) numpy int array (possibly k = 0)."""
+        import numpy as np
+        return np.zeros((0, n_rows), dtype=np.uint64)
+
+    def transition(self, alg, local: List, next_row: List, publics: List,
+                   consts: List = (), consts_next: List = ()) -> List:
         return []
 
-    def first_row(self, alg, local: List, publics: List) -> List:
+    def first_row(self, alg, local: List, publics: List,
+                  consts: List = ()) -> List:
         return []
 
-    def last_row(self, alg, local: List, publics: List) -> List:
+    def last_row(self, alg, local: List, publics: List,
+                 consts: List = ()) -> List:
         return []
 
     def num_constraints(self) -> int:
         """Total constraint count (transition + first + last)."""
+        import numpy as np
         alg = ExtAlgebra()
         dummy = [alg.zero() for _ in range(self.num_cols)]
+        k = self.constant_columns(2).shape[0]
+        dc = [alg.zero() for _ in range(k)]
         pubs = [gl.zeros(()) for _ in range(getattr(self, "num_publics", 0))]
-        return (len(self.transition(alg, dummy, dummy, pubs))
-                + len(self.first_row(alg, dummy, pubs))
-                + len(self.last_row(alg, dummy, pubs)))
+        return (len(self.transition(alg, dummy, dummy, pubs, dc, dc))
+                + len(self.first_row(alg, dummy, pubs, dc))
+                + len(self.last_row(alg, dummy, pubs, dc)))
 
 
 class FibonacciAir(Air):
@@ -125,7 +141,7 @@ class FibonacciAir(Air):
     num_cols = 2
     num_publics = 3
 
-    def transition(self, alg, local, next_row, publics):
+    def transition(self, alg, local, next_row, publics, consts=(), consts_next=()):
         a, b = local
         an, bn = next_row
         return [
@@ -133,14 +149,14 @@ class FibonacciAir(Air):
             alg.sub(bn, alg.add(a, b)),        # b' = a + b
         ]
 
-    def first_row(self, alg, local, publics):
+    def first_row(self, alg, local, publics, consts=()):
         a, b = local
         return [
             alg.sub(a, alg.lift(publics[0])),
             alg.sub(b, alg.lift(publics[1])),
         ]
 
-    def last_row(self, alg, local, publics):
+    def last_row(self, alg, local, publics, consts=()):
         a, b = local
         return [alg.sub(a, alg.lift(publics[2]))]
 

@@ -74,7 +74,7 @@ class PoseidonChainAir(Air):
     num_publics = 2 * WIDTH
     max_constraint_degree = 3
 
-    def transition(self, alg, local, next_row, publics):
+    def transition(self, alg, local, next_row, publics, consts=(), consts_next=()):
         rc = ps.round_constants()
         mds = ps.mds_matrix()
         cs = []
@@ -139,14 +139,14 @@ class PoseidonChainAir(Air):
 
         return cs
 
-    def first_row(self, alg, local, publics):
+    def first_row(self, alg, local, publics, consts=()):
         cs = []
         for i in range(WIDTH):
             cs.append(alg.sub(local[_col_s(i)], alg.lift(publics[i])))
         cs.append(alg.sub(local[_col_ph(0)], alg.one()))
         return cs
 
-    def last_row(self, alg, local, publics):
+    def last_row(self, alg, local, publics, consts=()):
         return [alg.sub(local[_col_s(i)], alg.lift(publics[WIDTH + i]))
                 for i in range(WIDTH)]
 

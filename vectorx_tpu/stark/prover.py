@@ -83,6 +83,44 @@ def _alpha_powers(alpha: ext.Fp2, n: int) -> List[ext.Fp2]:
     return powers
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n",))
+def _alpha_power_array(alpha: ext.Fp2, n: int) -> ext.Fp2:
+    """[1, α, α², ...] stacked — (n,)-component Fp2, built under a scan."""
+    def body(acc, _):
+        return ext.mul(acc, alpha), acc
+    _, arr = jax.lax.scan(body, ext.ones(()), None, length=n)
+    return arr
+
+
+def _slice_ext(v: ext.Fp2, a: int, b: int) -> ext.Fp2:
+    return ((v[0][0][a:b], v[0][1][a:b]), (v[1][0][a:b], v[1][1][a:b]))
+
+
+def _ext_col(v: ext.Fp2) -> ext.Fp2:
+    """(m,) Fp2 -> (m, 1) Fp2 for broadcasting against (m, N)."""
+    return ((v[0][0][:, None], v[0][1][:, None]),
+            (v[1][0][:, None], v[1][1][:, None]))
+
+
+def _ext_row(v: ext.Fp2) -> ext.Fp2:
+    """(N,) Fp2 -> (1, N) Fp2."""
+    return ((v[0][0][None, :], v[0][1][None, :]),
+            (v[1][0][None, :], v[1][1][None, :]))
+
+
+def _ext_sum0(v: ext.Fp2) -> ext.Fp2:
+    """Sum an (m, ...) Fp2 over axis 0 (carry-save)."""
+    return gl.sum_mod(v[0], axis=0), gl.sum_mod(v[1], axis=0)
+
+
+def _weighted_sum0(terms: ext.Fp2, w: ext.Fp2) -> ext.Fp2:
+    """Σ_i w_i * terms_i over axis 0: terms (m, N), w (m,) -> (N,)."""
+    return _ext_sum0(ext.mul(_ext_col(w), terms))
+
+
 def _ext_scalar_times_base_vec(s: ext.Fp2, v: gl.Fp) -> ext.Fp2:
     sb_re = (jnp.broadcast_to(s[0][0], v[0].shape), jnp.broadcast_to(s[0][1], v[0].shape))
     sb_im = (jnp.broadcast_to(s[1][0], v[0].shape), jnp.broadcast_to(s[1][1], v[0].shape))
@@ -132,22 +170,54 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
     nxt = [(jnp.roll(trace_lde[0][c], -blowup), jnp.roll(trace_lde[1][c], -blowup))
            for c in range(num_cols)]
-    ct = air.transition(alg, local, nxt, publics)
-    cf = air.first_row(alg, local, publics)
-    cl = air.last_row(alg, local, publics)
-    n_constraints = len(ct) + len(cf) + len(cl)
-    alphas = _alpha_powers(alpha, n_constraints)
+    cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
+    if cvals.shape[0]:
+        cfp = gl.to_fp(cvals)
+        c_lde = pntt.coset_lde(cfp, rate)
+        consts = [(c_lde[0][i], c_lde[1][i]) for i in range(cvals.shape[0])]
+        consts_next = [(jnp.roll(c_lde[0][i], -blowup), jnp.roll(c_lde[1][i], -blowup))
+                       for i in range(cvals.shape[0])]
+    else:
+        consts, consts_next = [], []
+    ct = air.transition(alg, local, nxt, publics, consts, consts_next)
+    cf = air.first_row(alg, local, publics, consts)
+    cl = air.last_row(alg, local, publics, consts)
 
-    def _combine(constraints, alphas_slice):
+    def _group_size(c):
+        g = c[0].shape[:-1]
+        return int(np.prod(g)) if g else 1
+
+    n_constraints = sum(_group_size(c) for c in ct + cf + cl)
+    alphas_arr = _alpha_power_array(alpha, n_constraints)
+
+    def _combine(constraints, alphas_all, k0):
+        """α-combine; constraints may be GROUPED (leading axes before the
+        domain axis count as independent constraints, each with its own α —
+        the TPU-native form: e.g. one (32, N_lde) tensor = 32 bit
+        constraints combined via a stacked-α weighted sum)."""
         acc = ext.zeros((n_lde,))
-        for c, a in zip(constraints, alphas_slice):
-            acc = ext.add(acc, _ext_scalar_times_base_vec(a, c))
-        return acc
+        k = k0
+        for c in constraints:
+            group = c[0].shape[:-1]
+            m = int(np.prod(group)) if group else 1
+            cf_ = (c[0].reshape(m, n_lde), c[1].reshape(m, n_lde))
+            al = _slice_ext(alphas_all, k, k + m)
+            a_re = (al[0][0][:, None], al[0][1][:, None])
+            a_im = (al[1][0][:, None], al[1][1][:, None])
+            re = gl.sum_mod(_bc_mul(a_re, cf_), axis=0)
+            im = gl.sum_mod(_bc_mul(a_im, cf_), axis=0)
+            acc = ext.add(acc, (re, im))
+            k += m
+        return acc, k
+
+    def _bc_mul(a, b):
+        return gl.mul((jnp.broadcast_to(a[0], b[0].shape),
+                       jnp.broadcast_to(a[1], b[0].shape)), b)
 
     k = 0
-    ct_comb = _combine(ct, alphas[k:k + len(ct)]); k += len(ct)
-    cf_comb = _combine(cf, alphas[k:k + len(cf)]); k += len(cf)
-    cl_comb = _combine(cl, alphas[k:k + len(cl)]); k += len(cl)
+    ct_comb, k = _combine(ct, alphas_arr, k)
+    cf_comb, k = _combine(cf, alphas_arr, k)
+    cl_comb, k = _combine(cl, alphas_arr, k)
 
     # -- 4: quotient -------------------------------------------------------
     x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
@@ -228,25 +298,24 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, n_lde)))
     inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))
 
+    # batched over all columns at once (one tensor pass per opening group)
     n_terms = 2 * num_cols + n_chunks
-    betas = _alpha_powers(beta, n_terms)
-    F = ext.zeros((n_lde,))
-    bi = 0
-    for c in range(num_cols):
-        tv = (trace_lde[0][c], trace_lde[1][c])
-        opening = _pick_ext(trace_zeta, c)
-        diff = ext.sub(ext.from_base(tv), _broadcast_ext(opening, n_lde))
-        F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
-    for c in range(num_cols):
-        tv = (trace_lde[0][c], trace_lde[1][c])
-        opening = _pick_ext(trace_gzeta, c)
-        diff = ext.sub(ext.from_base(tv), _broadcast_ext(opening, n_lde))
-        F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xgz))); bi += 1
-    for i in range(n_chunks):
-        qv = chunk_evals_lde[i]  # already an Fp2: (re_Fp, im_Fp)
-        opening = _pick_ext(quotient_zeta, i)
-        diff = ext.sub(qv, _broadcast_ext(opening, n_lde))
-        F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
+    betas_arr = _alpha_power_array(beta, n_terms)
+
+    tlde_fp2 = ext.from_base(trace_lde)                      # (C, N_lde)
+    diff_z = ext.sub(tlde_fp2, _ext_col(trace_zeta))
+    F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
+                       _slice_ext(betas_arr, 0, num_cols))
+    diff_gz = ext.sub(tlde_fp2, _ext_col(trace_gzeta))
+    F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
+                                  _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+    ch_stack = ((jnp.stack([c[0][0] for c in chunk_evals_lde]),
+                 jnp.stack([c[0][1] for c in chunk_evals_lde])),
+                (jnp.stack([c[1][0] for c in chunk_evals_lde]),
+                 jnp.stack([c[1][1] for c in chunk_evals_lde])))
+    diff_q = ext.sub(ch_stack, _ext_col(quotient_zeta))
+    F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
+                                  _slice_ext(betas_arr, 2 * num_cols, n_terms)))
 
     # -- 6: FRI ------------------------------------------------------------
     fri_proof, indices = fri.prove(F, challenger, config.fri_config)

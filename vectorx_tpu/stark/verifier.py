@@ -24,8 +24,9 @@ from ..poly import domain as pdom
 from . import fri, merkle
 from .air import Air, ExtAlgebra
 from .challenger import Challenger
-from .prover import (StarkConfig, StarkProof, _alpha_powers, _broadcast_ext,
-                     _ext_vec_scale, _pick_ext, num_quotient_chunks)
+from .prover import (StarkConfig, StarkProof, _alpha_power_array, _broadcast_ext,
+                     _ext_col, _ext_row, _ext_sum0, _pick_ext, _slice_ext,
+                     _weighted_sum0, num_quotient_chunks)
 
 P = gl.MODULUS
 
@@ -69,21 +70,48 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     alg = ExtAlgebra()
     local = [_pick_ext(proof.trace_zeta, c) for c in range(num_cols)]
     nxt = [_pick_ext(proof.trace_gzeta, c) for c in range(num_cols)]
-    ct = air.transition(alg, local, nxt, publics)
-    cf = air.first_row(alg, local, publics)
-    cl = air.last_row(alg, local, publics)
-    alphas = _alpha_powers(alpha, len(ct) + len(cf) + len(cl))
+    import numpy as np
+    from ..field import ext as _ext
+    cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
+    if cvals.shape[0]:
+        from ..poly import domain as _pdom
+        cfp = gl.to_fp(cvals)
+        g_zeta_pt = _ext.mul_base(zeta, gl.full((), g_dom))
+        cz = _pdom.barycentric_eval(cfp, zeta, log_n)
+        cgz = _pdom.barycentric_eval(cfp, g_zeta_pt, log_n)
+        consts = [_pick_ext(cz, i) for i in range(cvals.shape[0])]
+        consts_next = [_pick_ext(cgz, i) for i in range(cvals.shape[0])]
+    else:
+        consts, consts_next = [], []
+    ct = air.transition(alg, local, nxt, publics, consts, consts_next)
+    cf = air.first_row(alg, local, publics, consts)
+    cl = air.last_row(alg, local, publics, consts)
 
-    def comb(cs, als):
+    import numpy as _np
+
+    def _gsize(c):
+        g = c[0][0].shape
+        return int(_np.prod(g)) if g else 1
+
+    n_constraints = sum(_gsize(c) for c in ct + cf + cl)
+    alphas_arr = _alpha_power_array(alpha, n_constraints)
+
+    def comb(cs, k0):
         acc = ext.zeros(())
-        for c, a in zip(cs, als):
-            acc = ext.add(acc, ext.mul(a, c))
-        return acc
+        k = k0
+        for c in cs:
+            m = _gsize(c)
+            cc = ((c[0][0].reshape(m), c[0][1].reshape(m)),
+                  (c[1][0].reshape(m), c[1][1].reshape(m)))
+            term = ext.mul(_slice_ext(alphas_arr, k, k + m), cc)
+            acc = ext.add(acc, _ext_sum0(term))
+            k += m
+        return acc, k
 
     k = 0
-    ct_c = comb(ct, alphas[k:k + len(ct)]); k += len(ct)
-    cf_c = comb(cf, alphas[k:k + len(cf)]); k += len(cf)
-    cl_c = comb(cl, alphas[k:k + len(cl)]); k += len(cl)
+    ct_c, k = comb(ct, k)
+    cf_c, k = comb(cf, k)
+    cl_c, k = comb(cl, k)
 
     zeta_n = ext.pow_const(zeta, n)
     one = ext.ones(())
@@ -127,27 +155,27 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     x_all = pdom.domain_points(log_n_lde, shift)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
 
+    n_terms = 2 * num_cols + n_chunks
+    betas_arr = _alpha_power_array(beta, n_terms)
+
     def deep_at(idx, trace_rows, quot_rows):
         x = (x_all[0][idx], x_all[1][idx])            # (q,) base
         xe = ext.from_base(x)
         inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, q)))
         inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, q)))
-        betas = _alpha_powers(beta, 2 * num_cols + n_chunks)
-        F = ext.zeros((q,))
-        bi = 0
-        for c in range(num_cols):
-            tv = (trace_rows[0][:, c], trace_rows[1][:, c])
-            diff = ext.sub(ext.from_base(tv), _broadcast_ext(_pick_ext(proof.trace_zeta, c), q))
-            F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
-        for c in range(num_cols):
-            tv = (trace_rows[0][:, c], trace_rows[1][:, c])
-            diff = ext.sub(ext.from_base(tv), _broadcast_ext(_pick_ext(proof.trace_gzeta, c), q))
-            F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xgz))); bi += 1
-        for i in range(n_chunks):
-            qv = ((quot_rows[0][:, 2 * i], quot_rows[1][:, 2 * i]),
-                  (quot_rows[0][:, 2 * i + 1], quot_rows[1][:, 2 * i + 1]))
-            diff = ext.sub(qv, _broadcast_ext(_pick_ext(proof.quotient_zeta, i), q))
-            F = ext.add(F, _ext_vec_scale(betas[bi], ext.mul(diff, inv_xz))); bi += 1
+
+        tv = ext.from_base((trace_rows[0].T, trace_rows[1].T))   # (C, q)
+        diff_z = ext.sub(tv, _ext_col(proof.trace_zeta))
+        F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
+                           _slice_ext(betas_arr, 0, num_cols))
+        diff_gz = ext.sub(tv, _ext_col(proof.trace_gzeta))
+        F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
+                                      _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+        qv = ((quot_rows[0][:, 0::2].T, quot_rows[1][:, 0::2].T),
+              (quot_rows[0][:, 1::2].T, quot_rows[1][:, 1::2].T))  # (chunks, q)
+        diff_q = ext.sub(qv, _ext_col(proof.quotient_zeta))
+        F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
+                                      _slice_ext(betas_arr, 2 * num_cols, n_terms)))
         return F
 
     F_a = deep_at(idx_a, proof.trace_rows_a, proof.quot_rows_a)
