@@ -267,85 +267,96 @@ class Sha256CompressAir(Air):
     def make_trace(state_in: List[int], msg_words: List[int]):
         """-> ((NUM_COLS, 128) trace, publics[32], state_out[8])."""
         assert len(state_in) == 8 and len(msg_words) == 16
-        M = (1 << 32) - 1
-        cols = np.zeros((NUM_COLS, N_ROWS), dtype=np.object_)
-
-        def rotr(x, n):
-            return ((x >> n) | (x << (32 - n))) & M
-
-        # schedule
-        w = list(msg_words)
-        for i in range(16, 64):
-            s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
-            s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
-            w.append((w[i - 16] + s0 + w[i - 7] + s1) & M)
-        w_ext = w + [0] * 16  # window tail beyond round 63 (unconstrained)
-
-        a, b, c, d, e, f, g, h = state_in
-        for r in range(N_ROWS):
-            is_round = r < 64
-            for i in range(32):
-                cols[A + i, r] = (a >> i) & 1
-                cols[B + i, r] = (b >> i) & 1
-                cols[C + i, r] = (c >> i) & 1
-                cols[E + i, r] = (e >> i) & 1
-                cols[F + i, r] = (f >> i) & 1
-                cols[G + i, r] = (g >> i) & 1
-            cols[D_VAL, r] = d
-            cols[H_VAL, r] = h
-
-            if is_round:
-                window = w_ext[r:r + 16]
-            elif r == 64:
-                window = w_ext[64:64 + 15] + [0]
-            else:
-                window = [0] * 16
-            for j in range(16):
-                cols[W + j, r] = window[j]
-            for i in range(32):
-                cols[W1B + i, r] = (window[1] >> i) & 1
-                cols[W14B + i, r] = (window[14] >> i) & 1
-
-            bsig1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
-            bsig0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
-            ch = (e & f) ^ ((~e & M) & g)
-            maj = (a & b) ^ (a & c) ^ (b & c)
-            sig0 = rotr(window[1], 7) ^ rotr(window[1], 18) ^ (window[1] >> 3)
-            sig1 = rotr(window[14], 17) ^ rotr(window[14], 19) ^ (window[14] >> 10)
-            cols[BSIG1, r] = bsig1
-            cols[BSIG0, r] = bsig0
-            cols[CH, r] = ch
-            cols[MAJ, r] = maj
-            cols[SIG0, r] = sig0
-            cols[SIG1, r] = sig1
-
-            if is_round:
-                k = _K[r]
-                t1 = h + bsig1 + ch + k + window[0]
-                t2 = bsig0 + maj
-                new_a_full = t1 + t2
-                new_e_full = d + t1
-                ca = new_a_full >> 32
-                ce = new_e_full >> 32
-                for i in range(3):
-                    cols[CA + i, r] = (ca >> i) & 1
-                    cols[CE + i, r] = (ce >> i) & 1
-                if r < 48:
-                    ssum = window[0] + sig0 + window[9] + sig1
-                    cw = ssum >> 32
-                    for i in range(2):
-                        cols[CW + i, r] = (cw >> i) & 1
-                h, g, f, e = g, f, e, (new_e_full & M)
-                d, c, b, a = c, b, a, (new_a_full & M)
-
-        # feed-forward carries at the last row
-        out = []
-        finals = [a, b, c, d, e, f, g, h]
-        for j in range(8):
-            s = finals[j] + state_in[j]
-            out.append(s & M)
-            cols[FF + j, N_ROWS - 1] = s >> 32
-
+        cols = np.zeros((NUM_COLS, N_ROWS), dtype=np.uint64)
+        out, _ = fill_block(cols, 0, state_in, msg_words)
         trace = gl.to_fp(cols)
         publics = list(state_in) + list(msg_words) + out
         return trace, publics, out
+
+
+def fill_block(cols, r0: int, state_in: List[int], msg_words: List[int]):
+    """Fill one 128-row compression block's base columns at rows r0..r0+127.
+
+    Returns (digest_words, final_working_state); writes the feed-forward
+    carry bits at row r0+127 (the block-boundary row). All values fit in
+    uint64 (bits, u32 values, <=2-bit carries).
+    """
+    M = (1 << 32) - 1
+
+    def rotr(x, n):
+        return ((x >> n) | (x << (32 - n))) & M
+
+    # schedule
+    w = list(msg_words)
+    for i in range(16, 64):
+        s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & M)
+    w_ext = w + [0] * 16  # window tail beyond round 63 (unconstrained)
+
+    a, b, c, d, e, f, g, h = state_in
+    for rr in range(N_ROWS):
+        r = r0 + rr
+        is_round = rr < 64
+        for i in range(32):
+            cols[A + i, r] = (a >> i) & 1
+            cols[B + i, r] = (b >> i) & 1
+            cols[C + i, r] = (c >> i) & 1
+            cols[E + i, r] = (e >> i) & 1
+            cols[F + i, r] = (f >> i) & 1
+            cols[G + i, r] = (g >> i) & 1
+        cols[D_VAL, r] = d
+        cols[H_VAL, r] = h
+
+        if is_round:
+            window = w_ext[rr:rr + 16]
+        elif rr == 64:
+            window = w_ext[64:64 + 15] + [0]
+        else:
+            window = [0] * 16
+        for j in range(16):
+            cols[W + j, r] = window[j]
+        for i in range(32):
+            cols[W1B + i, r] = (window[1] >> i) & 1
+            cols[W14B + i, r] = (window[14] >> i) & 1
+
+        bsig1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+        bsig0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+        ch = (e & f) ^ ((~e & M) & g)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        sig0 = rotr(window[1], 7) ^ rotr(window[1], 18) ^ (window[1] >> 3)
+        sig1 = rotr(window[14], 17) ^ rotr(window[14], 19) ^ (window[14] >> 10)
+        cols[BSIG1, r] = bsig1
+        cols[BSIG0, r] = bsig0
+        cols[CH, r] = ch
+        cols[MAJ, r] = maj
+        cols[SIG0, r] = sig0
+        cols[SIG1, r] = sig1
+
+        if is_round:
+            k = _K[rr]
+            t1 = h + bsig1 + ch + k + window[0]
+            t2 = bsig0 + maj
+            new_a_full = t1 + t2
+            new_e_full = d + t1
+            ca = new_a_full >> 32
+            ce = new_e_full >> 32
+            for i in range(3):
+                cols[CA + i, r] = (ca >> i) & 1
+                cols[CE + i, r] = (ce >> i) & 1
+            if rr < 48:
+                ssum = window[0] + sig0 + window[9] + sig1
+                cw = ssum >> 32
+                for i in range(2):
+                    cols[CW + i, r] = (cw >> i) & 1
+            h, g, f, e = g, f, e, (new_e_full & M)
+            d, c, b, a = c, b, a, (new_a_full & M)
+
+    # feed-forward carries at the block-boundary row
+    out = []
+    finals = [a, b, c, d, e, f, g, h]
+    for j in range(8):
+        s = finals[j] + state_in[j]
+        out.append(s & M)
+        cols[FF + j, r0 + N_ROWS - 1] = s >> 32
+    return out, finals
