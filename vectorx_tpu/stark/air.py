@@ -100,6 +100,17 @@ class Air:
     num_cols: int = 0
     max_constraint_degree: int = 3
 
+    def lookup_range_columns(self) -> List[int]:
+        """Trace column indices range-checked to [0, n_rows) via LogUp.
+
+        The table is the row ramp 0..n_rows-1 (so a 2^16-row trace gives
+        exactly 16-bit range checks — the form the reference's starkyx
+        gadgets use for limb arithmetic). Aux columns (inverses, running
+        sum, multiplicities) are built by the prover after the trace
+        commitment and a dedicated challenge γ; see prover.py.
+        """
+        return []
+
     def constant_columns(self, n_rows: int):
         """-> (k, n_rows) numpy int array (possibly k = 0)."""
         import numpy as np

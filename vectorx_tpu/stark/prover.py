@@ -72,6 +72,15 @@ class StarkProof:
     quot_rows_b: gl.Fp
     quot_paths_a: gl.Fp
     quot_paths_b: gl.Fp
+    # LogUp lookup aux commitment (present iff air.lookup_range_columns()):
+    # base columns [inv_k(re,im)]*K | inv_t(re,im) | m | S(re,im)
+    aux_cap: gl.Fp | None = None
+    aux_zeta: ext.Fp2 | None = None     # (num_aux,)
+    aux_gzeta: ext.Fp2 | None = None
+    aux_rows_a: gl.Fp | None = None
+    aux_rows_b: gl.Fp | None = None
+    aux_paths_a: gl.Fp | None = None
+    aux_paths_b: gl.Fp | None = None
 
 
 def _alpha_powers(alpha: ext.Fp2, n: int) -> List[ext.Fp2]:
@@ -139,6 +148,99 @@ def num_quotient_chunks(air: Air) -> int:
     return max(air.max_constraint_degree - 1, 1)
 
 
+# ---------------------------------------------------------------------------
+# LogUp range-check lookup (air.lookup_range_columns)
+# ---------------------------------------------------------------------------
+# Identity proven:  Σ_r Σ_k 1/(γ - w_k(r)) == Σ_r m(r)/(γ - r)
+# i.e. every looked-up value lies in the row ramp [0, n_rows). Aux base
+# columns: [inv_k.re, inv_k.im]*K | inv_t.re, inv_t.im | m | S.re, S.im
+# where S is the exclusive running sum of the per-row contribution.
+
+
+def num_aux_cols(n_lookups: int) -> int:
+    return 2 * n_lookups + 5
+
+
+def _ramp_fp(n: int) -> gl.Fp:
+    return (jnp.arange(n, dtype=jnp.uint32), jnp.zeros((n,), jnp.uint32))
+
+
+def _recombine_u(re_v: ext.Fp2, im_v: ext.Fp2) -> ext.Fp2:
+    """Value of an ext element stored as two base columns: re + u*im."""
+    a, b = re_v
+    c, d = im_v
+    return (gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c))
+
+
+def _lookup_constraint_evals(gamma, w_vals, inv_vals, inv_t, m_val,
+                             s_val, s_next, t_val):
+    """Evaluate the LogUp constraints in any ext ring (vectors at prove
+    time, scalars at ζ for the verifier). Returns (transition, first,
+    last) lists; the inverse definitions appear in both transition and
+    last so they hold on every row."""
+    one = ext.ones(())
+    defs = []
+    for w, iv in zip(w_vals, inv_vals):
+        defs.append(ext.sub(ext.mul(ext.sub(gamma, w), iv), one))
+    defs.append(ext.sub(ext.mul(ext.sub(gamma, t_val), inv_t), one))
+    contrib = None
+    for iv in inv_vals:
+        contrib = iv if contrib is None else ext.add(contrib, iv)
+    contrib = ext.sub(contrib, ext.mul(m_val, inv_t))
+    lt = defs + [ext.sub(ext.sub(s_next, s_val), contrib)]
+    lf = [s_val]
+    ll = defs + [ext.add(s_val, contrib)]
+    return lt, lf, ll
+
+
+def _num_lookup_constraints(n_lookups: int):
+    """(transition, first, last) counts."""
+    return n_lookups + 2, 1, n_lookups + 2
+
+
+def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
+    """-> (num_aux, n) base-column aux trace (one batched inverse pass)."""
+    t_ramp = _ramp_fp(n)
+    ci = jnp.asarray(lk_cols, dtype=jnp.int32)
+    w_all = (jnp.concatenate([trace[0][ci], t_ramp[0][None, :]]),
+             jnp.concatenate([trace[1][ci], t_ramp[1][None, :]]))
+    inv_all = ext.inv(ext.sub(_broadcast_ext(gamma, (len(lk_cols) + 1, n)),
+                              ext.from_base(w_all)))
+    kk = len(lk_cols)
+    invs = [((inv_all[0][0][i], inv_all[0][1][i]),
+             (inv_all[1][0][i], inv_all[1][1][i])) for i in range(kk)]
+    inv_t = ((inv_all[0][0][kk], inv_all[0][1][kk]),
+             (inv_all[1][0][kk], inv_all[1][1][kk]))
+
+    in_range = (trace[1][ci] == 0) & (trace[0][ci] < jnp.uint32(n))
+    idx = jnp.where(in_range, trace[0][ci], jnp.uint32(0))
+    counts = jnp.zeros((n,), jnp.uint32).at[idx.reshape(-1)].add(
+        in_range.reshape(-1).astype(jnp.uint32))
+    m_fp = (counts, jnp.zeros((n,), jnp.uint32))
+
+    # Σ_k inv_k  (the stacked sum includes inv_t — subtract it back out)
+    contrib = (gl.sum_mod(inv_all[0], axis=0), gl.sum_mod(inv_all[1], axis=0))
+    contrib = ext.sub(contrib, inv_t)
+    contrib = ext.sub(contrib, ext.mul_base(inv_t, m_fp))
+
+    def exscan(fp: gl.Fp) -> gl.Fp:
+        inc = jax.lax.associative_scan(gl.add, fp)
+        lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), inc[0][:-1]])
+        hi = jnp.concatenate([jnp.zeros((1,), jnp.uint32), inc[1][:-1]])
+        return lo, hi
+
+    s_re = exscan(contrib[0])
+    s_im = exscan(contrib[1])
+
+    cols_lo, cols_hi = [], []
+    for iv in invs + [inv_t]:
+        cols_lo += [iv[0][0], iv[1][0]]
+        cols_hi += [iv[0][1], iv[1][1]]
+    cols_lo += [m_fp[0], s_re[0], s_im[0]]
+    cols_hi += [m_fp[1], s_re[1], s_im[1]]
+    return jnp.stack(cols_lo), jnp.stack(cols_hi)
+
+
 def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
           challenger: Challenger | None = None) -> StarkProof:
     """trace: (num_cols, N) base field; publics: list of scalar Fp."""
@@ -162,6 +264,21 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     challenger.observe((jnp.stack([p[0] for p in publics]),
                         jnp.stack([p[1] for p in publics])))
     challenger.observe_digests(trace_tree.cap)
+
+    # -- LogUp aux phase (only when the AIR declares range lookups) --------
+    lk_cols = air.lookup_range_columns()
+    has_lk = len(lk_cols) > 0
+    aux_tree = aux_rows = aux_trace = aux_lde = gamma = None
+    if has_lk:
+        gamma = challenger.squeeze_ext(1)
+        gamma = ((gamma[0][0][0], gamma[0][1][0]),
+                 (gamma[1][0][0], gamma[1][1][0]))
+        aux_trace = _build_aux_trace(trace, lk_cols, gamma, n)
+        aux_lde = pntt.coset_lde(aux_trace, rate)
+        aux_rows = (aux_lde[0].T, aux_lde[1].T)
+        aux_tree = merkle.build(aux_rows, cap_height=config.cap_height)
+        challenger.observe_digests(aux_tree.cap)
+
     alpha = challenger.squeeze_ext(1)
     alpha = ((alpha[0][0][0], alpha[0][1][0]), (alpha[1][0][0], alpha[1][1][0]))
 
@@ -183,11 +300,39 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     cf = air.first_row(alg, local, publics, consts)
     cl = air.last_row(alg, local, publics, consts)
 
+    # lookup constraints on the LDE domain (ext-valued vectors)
+    if has_lk:
+        kk = len(lk_cols)
+        t_lde = pntt.coset_lde((_ramp_fp(n)[0][None, :],
+                                _ramp_fp(n)[1][None, :]), rate)
+        w_vals = [ext.from_base((trace_lde[0][c], trace_lde[1][c]))
+                  for c in lk_cols]
+
+        def aux_elem(i):
+            return ((aux_lde[0][2 * i], aux_lde[1][2 * i]),
+                    (aux_lde[0][2 * i + 1], aux_lde[1][2 * i + 1]))
+
+        invs_v = [aux_elem(i) for i in range(kk)]
+        inv_t_v = aux_elem(kk)
+        m_v = ext.from_base((aux_lde[0][2 * kk + 2], aux_lde[1][2 * kk + 2]))
+        s_v = ((aux_lde[0][2 * kk + 3], aux_lde[1][2 * kk + 3]),
+               (aux_lde[0][2 * kk + 4], aux_lde[1][2 * kk + 4]))
+        s_next_v = ((jnp.roll(aux_lde[0][2 * kk + 3], -blowup),
+                     jnp.roll(aux_lde[1][2 * kk + 3], -blowup)),
+                    (jnp.roll(aux_lde[0][2 * kk + 4], -blowup),
+                     jnp.roll(aux_lde[1][2 * kk + 4], -blowup)))
+        t_v = ext.from_base((t_lde[0][0], t_lde[1][0]))
+        lk_t, lk_f, lk_l = _lookup_constraint_evals(
+            gamma, w_vals, invs_v, inv_t_v, m_v, s_v, s_next_v, t_v)
+    else:
+        lk_t, lk_f, lk_l = [], [], []
+
     def _group_size(c):
         g = c[0].shape[:-1]
         return int(np.prod(g)) if g else 1
 
-    n_constraints = sum(_group_size(c) for c in ct + cf + cl)
+    n_constraints = (sum(_group_size(c) for c in ct + cf + cl)
+                     + len(lk_t) + len(lk_f) + len(lk_l))
     alphas_arr = _alpha_power_array(alpha, n_constraints)
 
     def _combine(constraints, alphas_all, k0):
@@ -214,10 +359,20 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         return gl.mul((jnp.broadcast_to(a[0], b[0].shape),
                        jnp.broadcast_to(a[1], b[0].shape)), b)
 
+    def _combine_ext(constraints, alphas_all, k0, acc):
+        k = k0
+        for c in constraints:
+            acc = ext.add(acc, _ext_vec_scale(_pick_ext(alphas_all, k), c))
+            k += 1
+        return acc, k
+
     k = 0
     ct_comb, k = _combine(ct, alphas_arr, k)
+    ct_comb, k = _combine_ext(lk_t, alphas_arr, k, ct_comb)
     cf_comb, k = _combine(cf, alphas_arr, k)
+    cf_comb, k = _combine_ext(lk_f, alphas_arr, k, cf_comb)
     cl_comb, k = _combine(cl, alphas_arr, k)
+    cl_comb, k = _combine_ext(lk_l, alphas_arr, k, cl_comb)
 
     # -- 4: quotient -------------------------------------------------------
     x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
@@ -262,20 +417,39 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     # quotient-chunk components (they share the domain, so the (ζ - x_j)
     # inverses and prefactor are computed once)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
+    n_aux = aux_trace[0].shape[0] if has_lk else 0
+    aux_part = [aux_trace[0]] if has_lk else []
+    aux_part_hi = [aux_trace[1]] if has_lk else []
     stack_lo = jnp.concatenate(
-        [trace[0]] + [c[j][0][None, :] for c in chunk_evals_sub for j in (0, 1)])
+        [trace[0]] + aux_part
+        + [c[j][0][None, :] for c in chunk_evals_sub for j in (0, 1)])
     stack_hi = jnp.concatenate(
-        [trace[1]] + [c[j][1][None, :] for c in chunk_evals_sub for j in (0, 1)])
+        [trace[1]] + aux_part_hi
+        + [c[j][1][None, :] for c in chunk_evals_sub for j in (0, 1)])
     opened = pdom.barycentric_eval((stack_lo, stack_hi), zeta, log_n)
     trace_zeta = ((opened[0][0][:num_cols], opened[0][1][:num_cols]),
                   (opened[1][0][:num_cols], opened[1][1][:num_cols]))
-    trace_gzeta = pdom.barycentric_eval(trace, g_zeta, log_n)
+    if has_lk:
+        aux_zeta = ((opened[0][0][num_cols:num_cols + n_aux],
+                     opened[0][1][num_cols:num_cols + n_aux]),
+                    (opened[1][0][num_cols:num_cols + n_aux],
+                     opened[1][1][num_cols:num_cols + n_aux]))
+        gstack = (jnp.concatenate([trace[0], aux_trace[0]]),
+                  jnp.concatenate([trace[1], aux_trace[1]]))
+        opened_g = pdom.barycentric_eval(gstack, g_zeta, log_n)
+        trace_gzeta = ((opened_g[0][0][:num_cols], opened_g[0][1][:num_cols]),
+                       (opened_g[1][0][:num_cols], opened_g[1][1][:num_cols]))
+        aux_gzeta = ((opened_g[0][0][num_cols:], opened_g[0][1][num_cols:]),
+                     (opened_g[1][0][num_cols:], opened_g[1][1][num_cols:]))
+    else:
+        aux_zeta = aux_gzeta = None
+        trace_gzeta = pdom.barycentric_eval(trace, g_zeta, log_n)
 
     # recombine chunk components: value = re_v + u*im_v, u^2 = W
     qv = []
     for i in range(n_chunks):
-        re_v = _pick_ext(opened, num_cols + 2 * i)
-        im_v = _pick_ext(opened, num_cols + 2 * i + 1)
+        re_v = _pick_ext(opened, num_cols + n_aux + 2 * i)
+        im_v = _pick_ext(opened, num_cols + n_aux + 2 * i + 1)
         a, b = re_v
         c, d = im_v
         qv.append((gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c)))
@@ -288,6 +462,9 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
 
     obs_ext(trace_zeta)
     obs_ext(trace_gzeta)
+    if has_lk:
+        obs_ext(aux_zeta)
+        obs_ext(aux_gzeta)
     obs_ext(quotient_zeta)
 
     beta = challenger.squeeze_ext(1)
@@ -299,7 +476,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))
 
     # batched over all columns at once (one tensor pass per opening group)
-    n_terms = 2 * num_cols + n_chunks
+    n_terms = 2 * num_cols + 2 * n_aux + n_chunks
     betas_arr = _alpha_power_array(beta, n_terms)
 
     tlde_fp2 = ext.from_base(trace_lde)                      # (C, N_lde)
@@ -309,13 +486,25 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     diff_gz = ext.sub(tlde_fp2, _ext_col(trace_gzeta))
     F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
                                   _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+    kbase = 2 * num_cols
+    if has_lk:
+        alde_fp2 = ext.from_base(aux_lde)                    # (A, N_lde)
+        diff_az = ext.sub(alde_fp2, _ext_col(aux_zeta))
+        F = ext.add(F, _weighted_sum0(
+            ext.mul(diff_az, _ext_row(inv_xz)),
+            _slice_ext(betas_arr, kbase, kbase + n_aux)))
+        diff_agz = ext.sub(alde_fp2, _ext_col(aux_gzeta))
+        F = ext.add(F, _weighted_sum0(
+            ext.mul(diff_agz, _ext_row(inv_xgz)),
+            _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
+        kbase += 2 * n_aux
     ch_stack = ((jnp.stack([c[0][0] for c in chunk_evals_lde]),
                  jnp.stack([c[0][1] for c in chunk_evals_lde])),
                 (jnp.stack([c[1][0] for c in chunk_evals_lde]),
                  jnp.stack([c[1][1] for c in chunk_evals_lde])))
     diff_q = ext.sub(ch_stack, _ext_col(quotient_zeta))
     F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
-                                  _slice_ext(betas_arr, 2 * num_cols, n_terms)))
+                                  _slice_ext(betas_arr, kbase, n_terms)))
 
     # -- 6: FRI ------------------------------------------------------------
     fri_proof, indices = fri.prove(F, challenger, config.fri_config)
@@ -334,6 +523,11 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     trb, tpb = open_rows(trace_tree, trace_rows, idx_b)
     qra, qpa = open_rows(quot_tree, quot_rows, idx_a)
     qrb, qpb = open_rows(quot_tree, quot_rows, idx_b)
+    if has_lk:
+        ara, apa = open_rows(aux_tree, aux_rows, idx_a)
+        arb, apb = open_rows(aux_tree, aux_rows, idx_b)
+    else:
+        ara = arb = apa = apb = None
 
     return StarkProof(
         trace_cap=trace_tree.cap, quotient_cap=quot_tree.cap,
@@ -343,12 +537,17 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         trace_paths_a=tpa, trace_paths_b=tpb,
         quot_rows_a=qra, quot_rows_b=qrb,
         quot_paths_a=qpa, quot_paths_b=qpb,
+        aux_cap=aux_tree.cap if has_lk else None,
+        aux_zeta=aux_zeta, aux_gzeta=aux_gzeta,
+        aux_rows_a=ara, aux_rows_b=arb,
+        aux_paths_a=apa, aux_paths_b=apb,
     )
 
 
-def _broadcast_ext(s: ext.Fp2, n: int) -> ext.Fp2:
-    return ((jnp.broadcast_to(s[0][0], (n,)), jnp.broadcast_to(s[0][1], (n,))),
-            (jnp.broadcast_to(s[1][0], (n,)), jnp.broadcast_to(s[1][1], (n,))))
+def _broadcast_ext(s: ext.Fp2, n) -> ext.Fp2:
+    shape = (n,) if isinstance(n, int) else tuple(n)
+    return ((jnp.broadcast_to(s[0][0], shape), jnp.broadcast_to(s[0][1], shape)),
+            (jnp.broadcast_to(s[1][0], shape), jnp.broadcast_to(s[1][1], shape)))
 
 
 def _pick_ext(v: ext.Fp2, i: int) -> ext.Fp2:

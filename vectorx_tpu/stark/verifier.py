@@ -25,7 +25,8 @@ from . import fri, merkle
 from .air import Air, ExtAlgebra
 from .challenger import Challenger
 from .prover import (StarkConfig, StarkProof, _alpha_power_array, _broadcast_ext,
-                     _ext_col, _ext_row, _ext_sum0, _pick_ext, _slice_ext,
+                     _ext_col, _ext_row, _ext_sum0, _lookup_constraint_evals,
+                     _pick_ext, _ramp_fp, _recombine_u, _slice_ext,
                      _weighted_sum0, num_quotient_chunks)
 
 P = gl.MODULUS
@@ -50,6 +51,16 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     challenger.observe((jnp.stack([p[0] for p in publics]),
                         jnp.stack([p[1] for p in publics])))
     challenger.observe_digests(proof.trace_cap)
+
+    lk_cols = air.lookup_range_columns()
+    has_lk = len(lk_cols) > 0
+    gamma = None
+    if has_lk:
+        gamma = challenger.squeeze_ext(1)
+        gamma = ((gamma[0][0][0], gamma[0][1][0]),
+                 (gamma[1][0][0], gamma[1][1][0]))
+        challenger.observe_digests(proof.aux_cap)
+
     alpha = challenger.squeeze_ext(1)
     alpha = ((alpha[0][0][0], alpha[0][1][0]), (alpha[1][0][0], alpha[1][1][0]))
     challenger.observe_digests(proof.quotient_cap)
@@ -62,6 +73,9 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
 
     obs_ext(proof.trace_zeta)
     obs_ext(proof.trace_gzeta)
+    if has_lk:
+        obs_ext(proof.aux_zeta)
+        obs_ext(proof.aux_gzeta)
     obs_ext(proof.quotient_zeta)
     beta = challenger.squeeze_ext(1)
     beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
@@ -87,13 +101,39 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     cf = air.first_row(alg, local, publics, consts)
     cl = air.last_row(alg, local, publics, consts)
 
+    # lookup constraints at ζ (aux base-column pairs recombined as re + u*im)
+    if has_lk:
+        kk = len(lk_cols)
+
+        def aux_at(op, i):
+            return _recombine_u(_pick_ext(op, 2 * i),
+                                _pick_ext(op, 2 * i + 1))
+
+        invs_z = [aux_at(proof.aux_zeta, i) for i in range(kk)]
+        inv_t_z = aux_at(proof.aux_zeta, kk)
+        m_z = _pick_ext(proof.aux_zeta, 2 * kk + 2)
+        # S occupies base columns 2kk+3, 2kk+4
+        s_z = _recombine_u(_pick_ext(proof.aux_zeta, 2 * kk + 3),
+                           _pick_ext(proof.aux_zeta, 2 * kk + 4))
+        s_gz = _recombine_u(_pick_ext(proof.aux_gzeta, 2 * kk + 3),
+                            _pick_ext(proof.aux_gzeta, 2 * kk + 4))
+        w_z = [_pick_ext(proof.trace_zeta, c) for c in lk_cols]
+        ramp = _ramp_fp(n)
+        t_z = _pick_ext(pdom.barycentric_eval(
+            (ramp[0][None, :], ramp[1][None, :]), zeta, log_n), 0)
+        lk_t, lk_f, lk_l = _lookup_constraint_evals(
+            gamma, w_z, invs_z, inv_t_z, m_z, s_z, s_gz, t_z)
+    else:
+        lk_t, lk_f, lk_l = [], [], []
+
     import numpy as _np
 
     def _gsize(c):
         g = c[0][0].shape
         return int(_np.prod(g)) if g else 1
 
-    n_constraints = sum(_gsize(c) for c in ct + cf + cl)
+    n_constraints = (sum(_gsize(c) for c in ct + cf + cl)
+                     + len(lk_t) + len(lk_f) + len(lk_l))
     alphas_arr = _alpha_power_array(alpha, n_constraints)
 
     def comb(cs, k0):
@@ -108,10 +148,20 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
             k += m
         return acc, k
 
+    def comb_ext(cs, k0, acc):
+        k = k0
+        for c in cs:
+            acc = ext.add(acc, ext.mul(_pick_ext(alphas_arr, k), c))
+            k += 1
+        return acc, k
+
     k = 0
     ct_c, k = comb(ct, k)
+    ct_c, k = comb_ext(lk_t, k, ct_c)
     cf_c, k = comb(cf, k)
+    cf_c, k = comb_ext(lk_f, k, cf_c)
     cl_c, k = comb(cl, k)
+    cl_c, k = comb_ext(lk_l, k, cl_c)
 
     zeta_n = ext.pow_const(zeta, n)
     one = ext.ones(())
@@ -150,15 +200,21 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     ok = ok & check_rows(proof.trace_cap, idx_b, proof.trace_rows_b, proof.trace_paths_b)
     ok = ok & check_rows(proof.quotient_cap, idx_a, proof.quot_rows_a, proof.quot_paths_a)
     ok = ok & check_rows(proof.quotient_cap, idx_b, proof.quot_rows_b, proof.quot_paths_b)
+    if has_lk:
+        ok = ok & check_rows(proof.aux_cap, idx_a, proof.aux_rows_a,
+                             proof.aux_paths_a)
+        ok = ok & check_rows(proof.aux_cap, idx_b, proof.aux_rows_b,
+                             proof.aux_paths_b)
 
     # -- 3: DEEP composition recomputation at query points ------------------
     x_all = pdom.domain_points(log_n_lde, shift)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
 
-    n_terms = 2 * num_cols + n_chunks
+    n_aux = proof.aux_zeta[0][0].shape[0] if has_lk else 0
+    n_terms = 2 * num_cols + 2 * n_aux + n_chunks
     betas_arr = _alpha_power_array(beta, n_terms)
 
-    def deep_at(idx, trace_rows, quot_rows):
+    def deep_at(idx, trace_rows, quot_rows, aux_rows):
         x = (x_all[0][idx], x_all[1][idx])            # (q,) base
         xe = ext.from_base(x)
         inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, q)))
@@ -171,15 +227,29 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
         diff_gz = ext.sub(tv, _ext_col(proof.trace_gzeta))
         F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
                                       _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+        kbase = 2 * num_cols
+        if has_lk:
+            av = ext.from_base((aux_rows[0].T, aux_rows[1].T))   # (A, q)
+            diff_az = ext.sub(av, _ext_col(proof.aux_zeta))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(diff_az, _ext_row(inv_xz)),
+                _slice_ext(betas_arr, kbase, kbase + n_aux)))
+            diff_agz = ext.sub(av, _ext_col(proof.aux_gzeta))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(diff_agz, _ext_row(inv_xgz)),
+                _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
+            kbase += 2 * n_aux
         qv = ((quot_rows[0][:, 0::2].T, quot_rows[1][:, 0::2].T),
               (quot_rows[0][:, 1::2].T, quot_rows[1][:, 1::2].T))  # (chunks, q)
         diff_q = ext.sub(qv, _ext_col(proof.quotient_zeta))
         F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
-                                      _slice_ext(betas_arr, 2 * num_cols, n_terms)))
+                                      _slice_ext(betas_arr, kbase, n_terms)))
         return F
 
-    F_a = deep_at(idx_a, proof.trace_rows_a, proof.quot_rows_a)
-    F_b = deep_at(idx_b, proof.trace_rows_b, proof.quot_rows_b)
+    F_a = deep_at(idx_a, proof.trace_rows_a, proof.quot_rows_a,
+                  proof.aux_rows_a)
+    F_b = deep_at(idx_b, proof.trace_rows_b, proof.quot_rows_b,
+                  proof.aux_rows_b)
     ok = ok & jnp.all(ext.eq(F_a, a_vals)) & jnp.all(ext.eq(F_b, b_vals))
 
     return ok
