@@ -123,3 +123,26 @@ class TestSha512:
         got = s512.sha512_bytes(msgs)
         for g, m in zip(got, msgs):
             assert g == hashlib.sha512(m).digest(), len(m)
+
+
+def test_sc_reduce512_matches_int_oracle():
+    import numpy as np
+    import jax.numpy as jnp
+    from vectorx_tpu.field import scalar25519 as sc
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (16, 64), dtype=np.uint8)
+    # boundary cases: all 0xFF, exactly L, L-1, 2^252
+    raw[0] = 0xFF
+    raw[1, :] = 0
+    raw[1, :32] = np.frombuffer(sc.L_ORDER.to_bytes(32, "little"), np.uint8)
+    raw[2, :] = 0
+    raw[2, :32] = np.frombuffer((sc.L_ORDER - 1).to_bytes(32, "little"),
+                                np.uint8)
+    raw[3, :] = 0
+    raw[3, 31] = 0x10  # 2^252
+    out = np.asarray(sc.sc_reduce512(jnp.asarray(raw)))
+    for i in range(16):
+        v = int.from_bytes(raw[i].tobytes(), "little") % sc.L_ORDER
+        got = int.from_bytes(out[i].tobytes(), "little")
+        assert got == v, i

@@ -257,13 +257,12 @@ def verify_batch(pubkeys: jax.Array, r_bytes: jax.Array, s_bytes: jax.Array,
 def compute_challenges(r_list, a_list, msg: bytes) -> np.ndarray:
     """h = SHA512(R || A || M) mod L for each signature -> (n, 32) uint8 LE.
 
-    Hashing runs through the batched device SHA-512; the mod-L reduction is
-    host-side (to be moved on-device with the AIR sc_reduce).
+    Fully on-device: batched SHA-512 (hashes/sha512.py) then the batched
+    sc_reduce mod-L pass (field/scalar25519.py).
     """
+    from ..field import scalar25519 as sc
     msgs = [bytes(r) + bytes(a) + msg for r, a in zip(r_list, a_list)]
     digests = s512.sha512_bytes(msgs)
-    out = np.zeros((len(msgs), 32), dtype=np.uint8)
-    for i, d in enumerate(digests):
-        h = int.from_bytes(d, "little") % L_ORDER
-        out[i] = np.frombuffer(h.to_bytes(32, "little"), dtype=np.uint8)
-    return out
+    d_arr = jnp.asarray(
+        np.stack([np.frombuffer(d, np.uint8) for d in digests]))
+    return np.asarray(sc.sc_reduce512(d_arr))

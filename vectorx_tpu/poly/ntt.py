@@ -78,9 +78,24 @@ def _n_inv(log_n: int) -> int:
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("inverse",))
+MXU_THRESHOLD_LOG_N = 12   # four-step matmul NTT wins above this
+
+
 def ntt(x: gl.Fp, inverse: bool = False) -> gl.Fp:
-    """In-order forward (or inverse) NTT over the last axis. N must be 2^k."""
+    """In-order forward (or inverse) NTT over the last axis. N must be 2^k.
+
+    Dispatches to the MXU four-step path (ntt_mxu.py) for large sizes and
+    the VPU butterfly network below it.
+    """
+    n = x[0].shape[-1]
+    if n.bit_length() - 1 >= MXU_THRESHOLD_LOG_N:
+        from .ntt_mxu import ntt_mxu
+        return ntt_mxu(x, inverse)
+    return _ntt_butterfly(x, inverse)
+
+
+@partial(jax.jit, static_argnames=("inverse",))
+def _ntt_butterfly(x: gl.Fp, inverse: bool = False) -> gl.Fp:
     n = x[0].shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, f"NTT size must be a power of two, got {n}"
