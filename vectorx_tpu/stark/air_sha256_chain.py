@@ -67,7 +67,118 @@ def num_blocks_for(n_max: int) -> int:
     return p
 
 
-class ChainedSha256Air(Sha256CompressAir):
+class Sha256MultiBlockBase(Sha256CompressAir):
+    """Shared compression constraints for multi-block SHA-256 AIRs.
+
+    Subclasses lay out extra registers and the block wiring; the
+    per-round compression logic (masked at block boundaries) is common.
+    `_compression_constraints` returns (constraints, ffwd, next_svals):
+    ffwd[j] = feed-forward digest word expressions at boundary rows,
+    next_svals[j] = next-row working-variable value expressions.
+    """
+
+    def _compression_constraints(self, alg, local, next_row, k_val,
+                                 is_round, is_sched, not_last, copy_sel,
+                                 extra_bool_cols=()):
+        cs = []
+        one = alg.one()
+        St = self._stack
+        from .air_sha256 import W1B, W14B, CA, CE, CW, SIG0, SIG1, BSIG0, \
+            BSIG1, CH, MAJ
+
+        def bits_g(base, row=local):
+            return St([row[base + i] for i in range(32)])
+
+        a, b, c = bits_g(A), bits_g(B), bits_g(C)
+        e, f, g = bits_g(E), bits_g(F), bits_g(G)
+        w1b, w14b = bits_g(W1B), bits_g(W14B)
+        carries = St([local[CA], local[CA + 1], local[CA + 2],
+                      local[CE], local[CE + 1], local[CE + 2],
+                      local[CW], local[CW + 1]]
+                     + [local[FF + i] for i in range(8)]
+                     + [local[i] for i in extra_bool_cols])
+
+        for fam in (a, b, c, e, f, g, w1b, w14b, carries):
+            cs.append(alg.sub(alg.mul(fam, fam), fam))
+
+        cs.append(alg.sub(self._val_g(alg, w1b), local[W + 1]))
+        cs.append(alg.sub(self._val_g(alg, w14b), local[W + 14]))
+
+        R = self._roll
+        bsig1 = self._xor3_g(alg, R(e, -6), R(e, -11), R(e, -25))
+        cs.append(alg.sub(local[BSIG1], self._val_g(alg, bsig1)))
+        bsig0 = self._xor3_g(alg, R(a, -2), R(a, -13), R(a, -22))
+        cs.append(alg.sub(local[BSIG0], self._val_g(alg, bsig0)))
+        ch = alg.add(alg.mul(e, f), alg.mul(alg.sub(one, e), g))
+        cs.append(alg.sub(local[CH], self._val_g(alg, ch)))
+        maj = alg.sub(alg.add(alg.add(alg.mul(a, b), alg.mul(a, c)),
+                              alg.mul(b, c)),
+                      alg.mul(alg.constant(2), alg.mul(alg.mul(a, b), c)))
+        cs.append(alg.sub(local[MAJ], self._val_g(alg, maj)))
+        shr3 = self._mask0(R(w1b, -3), [i <= 28 for i in range(32)])
+        sig0 = self._xor3_g(alg, R(w1b, -7), R(w1b, -18), shr3)
+        cs.append(alg.sub(local[SIG0], self._val_g(alg, sig0)))
+        shr10 = self._mask0(R(w14b, -10), [i <= 21 for i in range(32)])
+        sig1 = self._xor3_g(alg, R(w14b, -17), R(w14b, -19), shr10)
+        cs.append(alg.sub(local[SIG1], self._val_g(alg, sig1)))
+
+        t1 = alg.add(alg.add(alg.add(local[H_VAL], local[BSIG1]),
+                             alg.add(local[CH], k_val)), local[W + 0])
+        t2 = alg.add(local[BSIG0], local[MAJ])
+        two32 = alg.constant(1 << 32)
+        carry_a = self._val3(alg, [local[CA + i] for i in range(3)])
+        carry_e = self._val3(alg, [local[CE + i] for i in range(3)])
+        next_a_val = self._val_g(alg, bits_g(A, next_row))
+        next_e_val = self._val_g(alg, bits_g(E, next_row))
+        cs.append(alg.mul(is_round, alg.sub(
+            alg.add(next_a_val, alg.mul(carry_a, two32)), alg.add(t1, t2))))
+        cs.append(alg.mul(is_round, alg.sub(
+            alg.add(next_e_val, alg.mul(carry_e, two32)),
+            alg.add(local[D_VAL], t1))))
+
+        na, ne = bits_g(A, next_row), bits_g(E, next_row)
+        cs.append(alg.mul(copy_sel, alg.sub(na, a)))
+        cs.append(alg.mul(copy_sel, alg.sub(ne, e)))
+
+        for dst, rot_src, cp_src in ((B, a, b), (C, b, c), (F, e, f),
+                                     (G, f, g)):
+            nd = bits_g(dst, next_row)
+            cs.append(alg.sub(alg.mul(not_last, nd),
+                              alg.add(alg.mul(is_round, rot_src),
+                                      alg.mul(copy_sel, cp_src))))
+
+        cs.append(alg.sub(alg.mul(not_last, next_row[D_VAL]),
+                          alg.add(alg.mul(is_round, self._val_g(alg, c)),
+                                  alg.mul(copy_sel, local[D_VAL]))))
+        cs.append(alg.sub(alg.mul(not_last, next_row[H_VAL]),
+                          alg.add(alg.mul(is_round, self._val_g(alg, g)),
+                                  alg.mul(copy_sel, local[H_VAL]))))
+
+        w_hi = St([local[W + j + 1] for j in range(15)])
+        nw_lo = St([next_row[W + j] for j in range(15)])
+        cs.append(alg.mul(is_round, alg.sub(nw_lo, w_hi)))
+        carry_w = self._val3(alg, [local[CW], local[CW + 1]])
+        sched_sum = alg.add(alg.add(local[W + 0], local[SIG0]),
+                            alg.add(local[W + 9], local[SIG1]))
+        cs.append(alg.mul(is_sched, alg.sub(
+            alg.add(next_row[W + 15], alg.mul(carry_w, two32)), sched_sum)))
+
+        svals = [self._val_g(alg, a), self._val_g(alg, b),
+                 self._val_g(alg, c), local[D_VAL],
+                 self._val_g(alg, e), self._val_g(alg, f),
+                 self._val_g(alg, g), local[H_VAL]]
+        next_svals = [self._val_g(alg, bits_g(A, next_row)),
+                      self._val_g(alg, bits_g(B, next_row)),
+                      self._val_g(alg, bits_g(C, next_row)),
+                      next_row[D_VAL],
+                      self._val_g(alg, bits_g(E, next_row)),
+                      self._val_g(alg, bits_g(F, next_row)),
+                      self._val_g(alg, bits_g(G, next_row)),
+                      next_row[H_VAL]]
+        return cs, svals, next_svals
+
+
+class ChainedSha256Air(Sha256MultiBlockBase):
     """publics: [num_active, out_0..out_7] (9 scalars)."""
 
     max_constraint_degree = 3
@@ -117,116 +228,22 @@ class ChainedSha256Air(Sha256CompressAir):
                    consts_next=()):
         (k_val, is_round, is_sched, b_last, b_cont, b_chain, b_start,
          b_final, not_last, copy_sel) = consts
-        cs = []
         one = alg.one()
         St = self._stack
-
-        def bits_g(base, row=local):
-            return St([row[base + i] for i in range(32)])
-
-        a, b, c = bits_g(A), bits_g(B), bits_g(C)
-        e, f, g = bits_g(E), bits_g(F), bits_g(G)
-        from .air_sha256 import W1B, W14B, CA, CE, CW, SIG0, SIG1, BSIG0, \
-            BSIG1, CH, MAJ
-        w1b, w14b = bits_g(W1B), bits_g(W14B)
-        carries = St([local[CA], local[CA + 1], local[CA + 2],
-                      local[CE], local[CE + 1], local[CE + 2],
-                      local[CW], local[CW + 1], local[ACT]]
-                     + [local[FF + i] for i in range(8)])
-
-        # booleanity
-        for fam in (a, b, c, e, f, g, w1b, w14b, carries):
-            cs.append(alg.sub(alg.mul(fam, fam), fam))
-
-        # tap consistency
-        cs.append(alg.sub(self._val_g(alg, w1b), local[W + 1]))
-        cs.append(alg.sub(self._val_g(alg, w14b), local[W + 14]))
-
-        # definitional value columns (identical to the single-block AIR)
-        R = self._roll
-        bsig1 = self._xor3_g(alg, R(e, -6), R(e, -11), R(e, -25))
-        cs.append(alg.sub(local[BSIG1], self._val_g(alg, bsig1)))
-        bsig0 = self._xor3_g(alg, R(a, -2), R(a, -13), R(a, -22))
-        cs.append(alg.sub(local[BSIG0], self._val_g(alg, bsig0)))
-        ch = alg.add(alg.mul(e, f), alg.mul(alg.sub(one, e), g))
-        cs.append(alg.sub(local[CH], self._val_g(alg, ch)))
-        maj = alg.sub(alg.add(alg.add(alg.mul(a, b), alg.mul(a, c)),
-                              alg.mul(b, c)),
-                      alg.mul(alg.constant(2), alg.mul(alg.mul(a, b), c)))
-        cs.append(alg.sub(local[MAJ], self._val_g(alg, maj)))
-        shr3 = self._mask0(R(w1b, -3), [i <= 28 for i in range(32)])
-        sig0 = self._xor3_g(alg, R(w1b, -7), R(w1b, -18), shr3)
-        cs.append(alg.sub(local[SIG0], self._val_g(alg, sig0)))
-        shr10 = self._mask0(R(w14b, -10), [i <= 21 for i in range(32)])
-        sig1 = self._xor3_g(alg, R(w14b, -17), R(w14b, -19), shr10)
-        cs.append(alg.sub(local[SIG1], self._val_g(alg, sig1)))
-
-        # round updates (is_round is zero at boundary rows — safe unmasked)
-        t1 = alg.add(alg.add(alg.add(local[H_VAL], local[BSIG1]),
-                             alg.add(local[CH], k_val)), local[W + 0])
-        t2 = alg.add(local[BSIG0], local[MAJ])
         two32 = alg.constant(1 << 32)
-        carry_a = self._val3(alg, [local[CA + i] for i in range(3)])
-        carry_e = self._val3(alg, [local[CE + i] for i in range(3)])
-        next_a_val = self._val_g(alg, bits_g(A, next_row))
-        next_e_val = self._val_g(alg, bits_g(E, next_row))
-        cs.append(alg.mul(is_round, alg.sub(
-            alg.add(next_a_val, alg.mul(carry_a, two32)), alg.add(t1, t2))))
-        cs.append(alg.mul(is_round, alg.sub(
-            alg.add(next_e_val, alg.mul(carry_e, two32)),
-            alg.add(local[D_VAL], t1))))
 
-        # a/e copy on pad rows — masked off at block boundaries
-        na, ne = bits_g(A, next_row), bits_g(E, next_row)
-        cs.append(alg.mul(copy_sel, alg.sub(na, a)))
-        cs.append(alg.mul(copy_sel, alg.sub(ne, e)))
-
-        # b,c,f,g rotate/copy — next-row term masked by NOT_LAST
-        for dst, rot_src, cp_src in ((B, a, b), (C, b, c), (F, e, f),
-                                     (G, f, g)):
-            nd = bits_g(dst, next_row)
-            cs.append(alg.sub(alg.mul(not_last, nd),
-                              alg.add(alg.mul(is_round, rot_src),
-                                      alg.mul(copy_sel, cp_src))))
-
-        # d, h value updates — same masking
-        cs.append(alg.sub(alg.mul(not_last, next_row[D_VAL]),
-                          alg.add(alg.mul(is_round, self._val_g(alg, c)),
-                                  alg.mul(copy_sel, local[D_VAL]))))
-        cs.append(alg.sub(alg.mul(not_last, next_row[H_VAL]),
-                          alg.add(alg.mul(is_round, self._val_g(alg, g)),
-                                  alg.mul(copy_sel, local[H_VAL]))))
-
-        # window shift + schedule (is_round/is_sched vanish at boundaries)
-        w_hi = St([local[W + j + 1] for j in range(15)])
-        nw_lo = St([next_row[W + j] for j in range(15)])
-        cs.append(alg.mul(is_round, alg.sub(nw_lo, w_hi)))
-        carry_w = self._val3(alg, [local[CW], local[CW + 1]])
-        sched_sum = alg.add(alg.add(local[W + 0], local[SIG0]),
-                            alg.add(local[W + 9], local[SIG1]))
-        cs.append(alg.mul(is_sched, alg.sub(
-            alg.add(next_row[W + 15], alg.mul(carry_w, two32)), sched_sum)))
+        cs, svals, next_svals = self._compression_constraints(
+            alg, local, next_row, k_val, is_round, is_sched, not_last,
+            copy_sel, extra_bool_cols=(ACT,))
 
         # ------------------------------------------------------------------
         # block wiring (boundary rows)
         # ------------------------------------------------------------------
         # feed-forward digest words at the boundary: d_j = IS_j + s_j - FF_j*2^32
-        svals = [self._val_g(alg, a), self._val_g(alg, b),
-                 self._val_g(alg, c), local[D_VAL],
-                 self._val_g(alg, e), self._val_g(alg, f),
-                 self._val_g(alg, g), local[H_VAL]]
         ffwd = [alg.sub(alg.add(local[IS + j], svals[j]),
                         alg.mul(local[FF + j], two32)) for j in range(8)]
 
         # next block's working vars start at next block's input state
-        next_svals = [self._val_g(alg, bits_g(A, next_row)),
-                      self._val_g(alg, bits_g(B, next_row)),
-                      self._val_g(alg, bits_g(C, next_row)),
-                      next_row[D_VAL],
-                      self._val_g(alg, bits_g(E, next_row)),
-                      self._val_g(alg, bits_g(F, next_row)),
-                      self._val_g(alg, bits_g(G, next_row)),
-                      next_row[H_VAL]]
         cs.append(alg.mul(b_last, St([alg.sub(next_svals[j],
                                               next_row[IS + j])
                                       for j in range(8)])))
