@@ -228,7 +228,10 @@ def hash_many(inputs: gl.Fp) -> gl.Fp:
 
     n is static; padded to a multiple of RATE with zeros (matching the
     zero-extension the int oracle applies implicitly when n % RATE != 0).
-    """
+    The absorb loop runs under lax.scan — ONE permute in the graph however
+    wide the rows are (an unrolled loop made XLA:CPU compile time scale
+    with trace width: ~0.5 s per absorbed chunk for Merkle leaf hashing of
+    limb-heavy AIR traces)."""
     n = inputs[0].shape[-1]
     n_pad = (-n) % RATE
     lo = inputs[0]
@@ -237,9 +240,15 @@ def hash_many(inputs: gl.Fp) -> gl.Fp:
         pad = [(0, 0)] * (lo.ndim - 1) + [(0, n_pad)]
         lo = jnp.pad(lo, pad)
         hi = jnp.pad(hi, pad)
+    nch = lo.shape[-1] // RATE
+    lo_c = jnp.moveaxis(lo.reshape(lo.shape[:-1] + (nch, RATE)), -2, 0)
+    hi_c = jnp.moveaxis(hi.reshape(hi.shape[:-1] + (nch, RATE)), -2, 0)
     state = gl.zeros(lo.shape[:-1] + (WIDTH,))
-    for i in range(0, n, RATE):
-        s_lo = jnp.concatenate([lo[..., i:i + RATE], state[0][..., RATE:]], axis=-1)
-        s_hi = jnp.concatenate([hi[..., i:i + RATE], state[1][..., RATE:]], axis=-1)
-        state = permute((s_lo, s_hi))
+
+    def absorb(state, chunk):
+        s_lo = jnp.concatenate([chunk[0], state[0][..., RATE:]], axis=-1)
+        s_hi = jnp.concatenate([chunk[1], state[1][..., RATE:]], axis=-1)
+        return permute((s_lo, s_hi)), None
+
+    state, _ = jax.lax.scan(absorb, state, (lo_c, hi_c))
     return state[0][..., :DIGEST_WIDTH], state[1][..., :DIGEST_WIDTH]
