@@ -152,13 +152,26 @@ def num_quotient_chunks(air: Air) -> int:
 # LogUp range-check lookup (air.lookup_range_columns)
 # ---------------------------------------------------------------------------
 # Identity proven:  Σ_r Σ_k 1/(γ - w_k(r)) == Σ_r m(r)/(γ - r)
-# i.e. every looked-up value lies in the row ramp [0, n_rows). Aux base
-# columns: [inv_k.re, inv_k.im]*K | inv_t.re, inv_t.im | m | S.re, S.im
-# where S is the exclusive running sum of the per-row contribution.
+# i.e. every looked-up value lies in the row ramp [0, n_rows). Looked
+# columns are PAIRED: one witnessed inverse serves two columns via
+#   (γ - w0)(γ - w1)·inv = 1        (degree 3 — exactly the AIR budget)
+#   pair contribution = inv·(2γ - w0 - w1) = 1/(γ-w0) + 1/(γ-w1)
+# halving the aux trace vs one-inverse-per-column (the limb-heavy AIRs
+# have thousands of looked columns). Odd column counts are padded by
+# repeating the last column (its multiplicity simply counts twice).
+# Aux base columns: [inv_k.re, inv_k.im]*ceil(K/2) | inv_t.re, inv_t.im |
+# m | S.re, S.im  where S is the exclusive running sum.
 
 
 def num_aux_cols(n_lookups: int) -> int:
-    return 2 * n_lookups + 5
+    return 2 * ((n_lookups + 1) // 2) + 5
+
+
+def _padded_lk(lk_cols):
+    lk = list(lk_cols)
+    if len(lk) % 2:
+        lk.append(lk[-1])
+    return lk
 
 
 def _ramp_fp(n: int) -> gl.Fp:
@@ -172,45 +185,67 @@ def _recombine_u(re_v: ext.Fp2, im_v: ext.Fp2) -> ext.Fp2:
     return (gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c))
 
 
-def _lookup_constraint_evals(gamma, w_vals, inv_vals, inv_t, m_val,
+def _lookup_constraint_evals(gamma, w0_g, w1_g, inv_g, inv_t, m_val,
                              s_val, s_next, t_val):
     """Evaluate the LogUp constraints in any ext ring (vectors at prove
-    time, scalars at ζ for the verifier). Returns (transition, first,
-    last) lists; the inverse definitions appear in both transition and
-    last so they hold on every row."""
+    time, scalars at ζ for the verifier). ``w0_g``/``w1_g``/``inv_g`` are
+    GROUPED ext elements with the ceil(K/2) column PAIRS stacked on a
+    leading axis — one tensor op covers all pair-inverse definitions
+    (essential for limb-heavy AIRs, e.g. Ed25519 with ~2000 looked
+    columns). Returns (transition, first, last) lists of (possibly
+    grouped) constraints; the inverse definitions appear in both
+    transition and last so they hold on every row."""
     one = ext.ones(())
-    defs = []
-    for w, iv in zip(w_vals, inv_vals):
-        defs.append(ext.sub(ext.mul(ext.sub(gamma, w), iv), one))
-    defs.append(ext.sub(ext.mul(ext.sub(gamma, t_val), inv_t), one))
-    contrib = None
-    for iv in inv_vals:
-        contrib = iv if contrib is None else ext.add(contrib, iv)
+    d0 = ext.sub(gamma, w0_g)
+    d1 = ext.sub(gamma, w1_g)
+    defs_g = ext.sub(ext.mul(ext.mul(d0, d1), inv_g), one)
+    def_t = ext.sub(ext.mul(ext.sub(gamma, t_val), inv_t), one)
+    pair_num = ext.add(d0, d1)                    # 2γ - w0 - w1
+    contrib_g = ext.mul(inv_g, pair_num)
+    contrib = (gl.sum_mod(contrib_g[0], axis=0),
+               gl.sum_mod(contrib_g[1], axis=0))
     contrib = ext.sub(contrib, ext.mul(m_val, inv_t))
-    lt = defs + [ext.sub(ext.sub(s_next, s_val), contrib)]
+    # the degree-3 inverse definitions hold on EVERY row (divisor x^N − 1,
+    # quotient degree 2N−3 — a last-row divisor (x − g_last) would overflow
+    # the 2-chunk quotient budget at degree 3N−4)
+    le = [defs_g, def_t]
+    lt = [ext.sub(ext.sub(s_next, s_val), contrib)]
     lf = [s_val]
-    ll = defs + [ext.add(s_val, contrib)]
-    return lt, lf, ll
+    ll = [ext.add(s_val, contrib)]
+    return le, lt, lf, ll
 
 
 def _num_lookup_constraints(n_lookups: int):
-    """(transition, first, last) counts."""
-    return n_lookups + 2, 1, n_lookups + 2
+    """(transition, first, last) counts (pairs + table def + sum step)."""
+    kk2 = (n_lookups + 1) // 2
+    return kk2 + 2, 1, kk2 + 2
+
+
+def _ext_slice0(v: ext.Fp2, sl) -> ext.Fp2:
+    return ((v[0][0][sl], v[0][1][sl]), (v[1][0][sl], v[1][1][sl]))
 
 
 def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
-    """-> (num_aux, n) base-column aux trace (one batched inverse pass)."""
+    """-> (num_aux, n) base-column aux trace (one batched inverse pass over
+    the column-pair denominators plus the table denominator)."""
+    lk = _padded_lk(lk_cols)
+    kk2 = len(lk) // 2
     t_ramp = _ramp_fp(n)
-    ci = jnp.asarray(lk_cols, dtype=jnp.int32)
-    w_all = (jnp.concatenate([trace[0][ci], t_ramp[0][None, :]]),
-             jnp.concatenate([trace[1][ci], t_ramp[1][None, :]]))
-    inv_all = ext.inv(ext.sub(_broadcast_ext(gamma, (len(lk_cols) + 1, n)),
-                              ext.from_base(w_all)))
-    kk = len(lk_cols)
-    invs = [((inv_all[0][0][i], inv_all[0][1][i]),
-             (inv_all[1][0][i], inv_all[1][1][i])) for i in range(kk)]
-    inv_t = ((inv_all[0][0][kk], inv_all[0][1][kk]),
-             (inv_all[1][0][kk], inv_all[1][1][kk]))
+    ci = jnp.asarray(lk, dtype=jnp.int32)
+    w = ext.from_base((trace[0][ci], trace[1][ci]))        # (2·kk2, n)
+    d = ext.sub(_broadcast_ext(gamma, (2 * kk2, n)), w)
+    d0 = _ext_slice0(d, slice(0, None, 2))
+    d1 = _ext_slice0(d, slice(1, None, 2))
+    denom_p = ext.mul(d0, d1)                              # (kk2, n)
+    denom_t = ext.sub(_broadcast_ext(gamma, (1, n)),
+                      ext.from_base((t_ramp[0][None, :], t_ramp[1][None, :])))
+    denoms = ((jnp.concatenate([denom_p[0][0], denom_t[0][0]]),
+               jnp.concatenate([denom_p[0][1], denom_t[0][1]])),
+              (jnp.concatenate([denom_p[1][0], denom_t[1][0]]),
+               jnp.concatenate([denom_p[1][1], denom_t[1][1]])))
+    inv_all = ext.inv(denoms)
+    inv_p = _ext_slice0(inv_all, slice(0, kk2))
+    inv_t = _ext_slice0(inv_all, kk2)
 
     in_range = (trace[1][ci] == 0) & (trace[0][ci] < jnp.uint32(n))
     idx = jnp.where(in_range, trace[0][ci], jnp.uint32(0))
@@ -218,9 +253,9 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
         in_range.reshape(-1).astype(jnp.uint32))
     m_fp = (counts, jnp.zeros((n,), jnp.uint32))
 
-    # Σ_k inv_k  (the stacked sum includes inv_t — subtract it back out)
-    contrib = (gl.sum_mod(inv_all[0], axis=0), gl.sum_mod(inv_all[1], axis=0))
-    contrib = ext.sub(contrib, inv_t)
+    contrib_g = ext.mul(inv_p, ext.add(d0, d1))
+    contrib = (gl.sum_mod(contrib_g[0], axis=0),
+               gl.sum_mod(contrib_g[1], axis=0))
     contrib = ext.sub(contrib, ext.mul_base(inv_t, m_fp))
 
     def exscan(fp: gl.Fp) -> gl.Fp:
@@ -232,13 +267,18 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
     s_re = exscan(contrib[0])
     s_im = exscan(contrib[1])
 
-    cols_lo, cols_hi = [], []
-    for iv in invs + [inv_t]:
-        cols_lo += [iv[0][0], iv[1][0]]
-        cols_hi += [iv[0][1], iv[1][1]]
-    cols_lo += [m_fp[0], s_re[0], s_im[0]]
-    cols_hi += [m_fp[1], s_re[1], s_im[1]]
-    return jnp.stack(cols_lo), jnp.stack(cols_hi)
+    # interleave re/im base columns: inv pairs | inv_t | m | S
+    re_lo = jnp.concatenate([inv_p[0][0], inv_t[0][0][None]])
+    re_hi = jnp.concatenate([inv_p[0][1], inv_t[0][1][None]])
+    im_lo = jnp.concatenate([inv_p[1][0], inv_t[1][0][None]])
+    im_hi = jnp.concatenate([inv_p[1][1], inv_t[1][1][None]])
+    inter_lo = jnp.stack([re_lo, im_lo], axis=1).reshape(-1, n)
+    inter_hi = jnp.stack([re_hi, im_hi], axis=1).reshape(-1, n)
+    cols_lo = jnp.concatenate(
+        [inter_lo, m_fp[0][None], s_re[0][None], s_im[0][None]])
+    cols_hi = jnp.concatenate(
+        [inter_hi, m_fp[1][None], s_re[1][None], s_im[1][None]])
+    return cols_lo, cols_hi
 
 
 def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
@@ -285,15 +325,19 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     # -- 3: constraints on the LDE domain ---------------------------------
     alg = BaseVecAlgebra((n_lde,))
     local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
-    nxt = [(jnp.roll(trace_lde[0][c], -blowup), jnp.roll(trace_lde[1][c], -blowup))
-           for c in range(num_cols)]
+    # one roll of the whole (C, N_lde) tensor, then per-column views (a
+    # per-column roll costs thousands of ops to trace for limb-heavy AIRs)
+    r_lo = jnp.roll(trace_lde[0], -blowup, axis=1)
+    r_hi = jnp.roll(trace_lde[1], -blowup, axis=1)
+    nxt = [(r_lo[c], r_hi[c]) for c in range(num_cols)]
     cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
     if cvals.shape[0]:
         cfp = gl.to_fp(cvals)
         c_lde = pntt.coset_lde(cfp, rate)
         consts = [(c_lde[0][i], c_lde[1][i]) for i in range(cvals.shape[0])]
-        consts_next = [(jnp.roll(c_lde[0][i], -blowup), jnp.roll(c_lde[1][i], -blowup))
-                       for i in range(cvals.shape[0])]
+        cr_lo = jnp.roll(c_lde[0], -blowup, axis=1)
+        cr_hi = jnp.roll(c_lde[1], -blowup, axis=1)
+        consts_next = [(cr_lo[i], cr_hi[i]) for i in range(cvals.shape[0])]
     else:
         consts, consts_next = [], []
     ct = air.transition(alg, local, nxt, publics, consts, consts_next)
@@ -302,37 +346,46 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
 
     # lookup constraints on the LDE domain (ext-valued vectors)
     if has_lk:
-        kk = len(lk_cols)
+        lk_p = _padded_lk(lk_cols)
+        kk2 = len(lk_p) // 2
         t_lde = pntt.coset_lde((_ramp_fp(n)[0][None, :],
                                 _ramp_fp(n)[1][None, :]), rate)
-        w_vals = [ext.from_base((trace_lde[0][c], trace_lde[1][c]))
-                  for c in lk_cols]
+        ci = jnp.asarray(lk_p, dtype=jnp.int32)
+        w_all = ext.from_base((trace_lde[0][ci], trace_lde[1][ci]))
+        w0_g = _ext_slice0(w_all, slice(0, None, 2))        # (kk2, N_lde)
+        w1_g = _ext_slice0(w_all, slice(1, None, 2))
+        invs_g = ((aux_lde[0][0:2 * kk2:2], aux_lde[1][0:2 * kk2:2]),
+                  (aux_lde[0][1:2 * kk2:2], aux_lde[1][1:2 * kk2:2]))
 
         def aux_elem(i):
             return ((aux_lde[0][2 * i], aux_lde[1][2 * i]),
                     (aux_lde[0][2 * i + 1], aux_lde[1][2 * i + 1]))
 
-        invs_v = [aux_elem(i) for i in range(kk)]
-        inv_t_v = aux_elem(kk)
-        m_v = ext.from_base((aux_lde[0][2 * kk + 2], aux_lde[1][2 * kk + 2]))
-        s_v = ((aux_lde[0][2 * kk + 3], aux_lde[1][2 * kk + 3]),
-               (aux_lde[0][2 * kk + 4], aux_lde[1][2 * kk + 4]))
-        s_next_v = ((jnp.roll(aux_lde[0][2 * kk + 3], -blowup),
-                     jnp.roll(aux_lde[1][2 * kk + 3], -blowup)),
-                    (jnp.roll(aux_lde[0][2 * kk + 4], -blowup),
-                     jnp.roll(aux_lde[1][2 * kk + 4], -blowup)))
+        inv_t_v = aux_elem(kk2)
+        m_v = ext.from_base((aux_lde[0][2 * kk2 + 2], aux_lde[1][2 * kk2 + 2]))
+        s_v = ((aux_lde[0][2 * kk2 + 3], aux_lde[1][2 * kk2 + 3]),
+               (aux_lde[0][2 * kk2 + 4], aux_lde[1][2 * kk2 + 4]))
+        s_next_v = ((jnp.roll(aux_lde[0][2 * kk2 + 3], -blowup),
+                     jnp.roll(aux_lde[1][2 * kk2 + 3], -blowup)),
+                    (jnp.roll(aux_lde[0][2 * kk2 + 4], -blowup),
+                     jnp.roll(aux_lde[1][2 * kk2 + 4], -blowup)))
         t_v = ext.from_base((t_lde[0][0], t_lde[1][0]))
-        lk_t, lk_f, lk_l = _lookup_constraint_evals(
-            gamma, w_vals, invs_v, inv_t_v, m_v, s_v, s_next_v, t_v)
+        lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
+            gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v, t_v)
     else:
-        lk_t, lk_f, lk_l = [], [], []
+        lk_e, lk_t, lk_f, lk_l = [], [], [], []
 
     def _group_size(c):
         g = c[0].shape[:-1]
         return int(np.prod(g)) if g else 1
 
+    def _group_size_ext(c):
+        g = c[0][0].shape[:-1]
+        return int(np.prod(g)) if g else 1
+
     n_constraints = (sum(_group_size(c) for c in ct + cf + cl)
-                     + len(lk_t) + len(lk_f) + len(lk_l))
+                     + sum(_group_size_ext(c)
+                           for c in lk_t + lk_f + lk_l + lk_e))
     alphas_arr = _alpha_power_array(alpha, n_constraints)
 
     def _combine(constraints, alphas_all, k0):
@@ -360,10 +413,21 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
                        jnp.broadcast_to(a[1], b[0].shape)), b)
 
     def _combine_ext(constraints, alphas_all, k0, acc):
+        """α-combine ext-valued constraints; GROUPED leading axes count as
+        independent constraints, mirroring _combine for base constraints."""
         k = k0
         for c in constraints:
-            acc = ext.add(acc, _ext_vec_scale(_pick_ext(alphas_all, k), c))
-            k += 1
+            group = c[0][0].shape[:-1]
+            if not group:
+                acc = ext.add(acc, _ext_vec_scale(_pick_ext(alphas_all, k), c))
+                k += 1
+                continue
+            m = int(np.prod(group))
+            cc = ((c[0][0].reshape(m, n_lde), c[0][1].reshape(m, n_lde)),
+                  (c[1][0].reshape(m, n_lde), c[1][1].reshape(m, n_lde)))
+            al = _ext_col(_slice_ext(alphas_all, k, k + m))
+            acc = ext.add(acc, _ext_sum0(ext.mul(al, cc)))
+            k += m
         return acc, k
 
     k = 0
@@ -373,6 +437,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     cf_comb, k = _combine_ext(lk_f, alphas_arr, k, cf_comb)
     cl_comb, k = _combine(cl, alphas_arr, k)
     cl_comb, k = _combine_ext(lk_l, alphas_arr, k, cl_comb)
+    ce_comb, k = _combine_ext(lk_e, alphas_arr, k, ext.zeros((n_lde,)))
 
     # -- 4: quotient -------------------------------------------------------
     x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
@@ -386,7 +451,8 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     q_t = ext.mul_base(ext.mul_base(ct_comb, x_minus_glast), inv_zh)
     q_f = ext.mul_base(cf_comb, inv_x_minus_1)
     q_l = ext.mul_base(cl_comb, inv_x_minus_glast)
-    quotient = ext.add(ext.add(q_t, q_f), q_l)       # (N_lde,) Fp2
+    q_e = ext.mul_base(ce_comb, inv_zh)              # every-row class
+    quotient = ext.add(ext.add(ext.add(q_t, q_f), q_l), q_e)  # (N_lde,) Fp2
 
     # split into degree-N chunks; commit each chunk's coset evals
     q_coeffs_re = pntt.coset_intt(quotient[0], shift)

@@ -103,28 +103,47 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
 
     # lookup constraints at ζ (aux base-column pairs recombined as re + u*im)
     if has_lk:
-        kk = len(lk_cols)
+        from .prover import _padded_lk
+        lk_p = _padded_lk(lk_cols)
+        kk2 = len(lk_p) // 2
 
         def aux_at(op, i):
             return _recombine_u(_pick_ext(op, 2 * i),
                                 _pick_ext(op, 2 * i + 1))
 
-        invs_z = [aux_at(proof.aux_zeta, i) for i in range(kk)]
-        inv_t_z = aux_at(proof.aux_zeta, kk)
-        m_z = _pick_ext(proof.aux_zeta, 2 * kk + 2)
-        # S occupies base columns 2kk+3, 2kk+4
-        s_z = _recombine_u(_pick_ext(proof.aux_zeta, 2 * kk + 3),
-                           _pick_ext(proof.aux_zeta, 2 * kk + 4))
-        s_gz = _recombine_u(_pick_ext(proof.aux_gzeta, 2 * kk + 3),
-                            _pick_ext(proof.aux_gzeta, 2 * kk + 4))
-        w_z = [_pick_ext(proof.trace_zeta, c) for c in lk_cols]
+        def aux_slice_g(op):
+            """Grouped (kk2,) recombined pair-inverse values."""
+            re_g = ((op[0][0][0:2 * kk2:2], op[0][1][0:2 * kk2:2]),
+                    (op[1][0][0:2 * kk2:2], op[1][1][0:2 * kk2:2]))
+            im_g = ((op[0][0][1:2 * kk2:2], op[0][1][1:2 * kk2:2]),
+                    (op[1][0][1:2 * kk2:2], op[1][1][1:2 * kk2:2]))
+            return _recombine_u(re_g, im_g)
+
+        invs_g = aux_slice_g(proof.aux_zeta)
+        inv_t_z = aux_at(proof.aux_zeta, kk2)
+        m_z = _pick_ext(proof.aux_zeta, 2 * kk2 + 2)
+        # S occupies base columns 2kk2+3, 2kk2+4
+        s_z = _recombine_u(_pick_ext(proof.aux_zeta, 2 * kk2 + 3),
+                           _pick_ext(proof.aux_zeta, 2 * kk2 + 4))
+        s_gz = _recombine_u(_pick_ext(proof.aux_gzeta, 2 * kk2 + 3),
+                            _pick_ext(proof.aux_gzeta, 2 * kk2 + 4))
+        ci = jnp.asarray(lk_p, dtype=jnp.int32)
+        tz = proof.trace_zeta
+        w_all = ((tz[0][0][ci], tz[0][1][ci]), (tz[1][0][ci], tz[1][1][ci]))
+
+        def wslice(sl):
+            return ((w_all[0][0][sl], w_all[0][1][sl]),
+                    (w_all[1][0][sl], w_all[1][1][sl]))
+
+        w0_g = wslice(slice(0, None, 2))
+        w1_g = wslice(slice(1, None, 2))
         ramp = _ramp_fp(n)
         t_z = _pick_ext(pdom.barycentric_eval(
             (ramp[0][None, :], ramp[1][None, :]), zeta, log_n), 0)
-        lk_t, lk_f, lk_l = _lookup_constraint_evals(
-            gamma, w_z, invs_z, inv_t_z, m_z, s_z, s_gz, t_z)
+        lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
+            gamma, w0_g, w1_g, invs_g, inv_t_z, m_z, s_z, s_gz, t_z)
     else:
-        lk_t, lk_f, lk_l = [], [], []
+        lk_e, lk_t, lk_f, lk_l = [], [], [], []
 
     import numpy as _np
 
@@ -132,8 +151,8 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
         g = c[0][0].shape
         return int(_np.prod(g)) if g else 1
 
-    n_constraints = (sum(_gsize(c) for c in ct + cf + cl)
-                     + len(lk_t) + len(lk_f) + len(lk_l))
+    n_constraints = sum(_gsize(c)
+                        for c in ct + cf + cl + lk_t + lk_f + lk_l + lk_e)
     alphas_arr = _alpha_power_array(alpha, n_constraints)
 
     def comb(cs, k0):
@@ -151,8 +170,12 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     def comb_ext(cs, k0, acc):
         k = k0
         for c in cs:
-            acc = ext.add(acc, ext.mul(_pick_ext(alphas_arr, k), c))
-            k += 1
+            m = _gsize(c)
+            cc = ((c[0][0].reshape(m), c[0][1].reshape(m)),
+                  (c[1][0].reshape(m), c[1][1].reshape(m)))
+            term = ext.mul(_slice_ext(alphas_arr, k, k + m), cc)
+            acc = ext.add(acc, _ext_sum0(term))
+            k += m
         return acc, k
 
     k = 0
@@ -162,6 +185,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     cf_c, k = comb_ext(lk_f, k, cf_c)
     cl_c, k = comb(cl, k)
     cl_c, k = comb_ext(lk_l, k, cl_c)
+    ce_c, k = comb_ext(lk_e, k, ext.zeros(()))
 
     zeta_n = ext.pow_const(zeta, n)
     one = ext.ones(())
@@ -169,11 +193,13 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     zeta_m_glast = ext.sub(zeta, ext.from_base(gl.full((), g_last)))
     zeta_m_1 = ext.sub(zeta, one)
 
+    inv_zh = ext.inv(zh)
     expected_q = ext.add(
         ext.add(
-            ext.mul(ext.mul(ct_c, zeta_m_glast), ext.inv(zh)),
+            ext.mul(ext.mul(ct_c, zeta_m_glast), inv_zh),
             ext.mul(cf_c, ext.inv(zeta_m_1))),
-        ext.mul(cl_c, ext.inv(zeta_m_glast)))
+        ext.add(ext.mul(cl_c, ext.inv(zeta_m_glast)),
+                ext.mul(ce_c, inv_zh)))
 
     opened_q = ext.zeros(())
     for i in range(n_chunks):
@@ -181,6 +207,9 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
         opened_q = ext.add(opened_q, ext.mul(zpow, _pick_ext(proof.quotient_zeta, i)))
 
     ok = jnp.all(ext.eq(expected_q, opened_q))
+    import os as _os
+    if _os.environ.get("VX_VERIFY_DEBUG"):
+        print("ALI:", bool(ok))
 
     # -- 4: FRI (also yields query indices + layer-0 values) ---------------
     fri_ok, indices, layer0 = fri.verify(proof.fri_proof, log_n_lde,
@@ -250,6 +279,10 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
                   proof.aux_rows_a)
     F_b = deep_at(idx_b, proof.trace_rows_b, proof.quot_rows_b,
                   proof.aux_rows_b)
+    if _os.environ.get("VX_VERIFY_DEBUG"):
+        print("FRI:", bool(fri_ok), "after merkle:", bool(ok),
+              "deep_a:", bool(jnp.all(ext.eq(F_a, a_vals))),
+              "deep_b:", bool(jnp.all(ext.eq(F_b, b_vals))))
     ok = ok & jnp.all(ext.eq(F_a, a_vals)) & jnp.all(ext.eq(F_b, b_vals))
 
     return ok
