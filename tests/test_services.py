@@ -10,7 +10,7 @@ from cryptography.hazmat.primitives import serialization
 from vectorx_tpu.circuits import commitments, scale
 from vectorx_tpu.circuits.abi import (HeaderRangeInput, HeaderRangeOutput,
                                       RotateInput, range_commitment_key)
-from vectorx_tpu.services import dummy, indexer, operator, store
+from vectorx_tpu.services import dummy, grandpa, indexer, operator, store
 from vectorx_tpu.utils.keccak import keccak256
 
 RNG = np.random.default_rng(11)
@@ -245,3 +245,71 @@ class TestOperator:
         assert req == "req-rot"
         kind, inp = contract.requests[0]
         assert kind == "rotate" and inp.authority_set_id == 5
+
+
+class TestGrandpaDecode:
+    """SCALE GrandpaJustification / FinalityProof decoding + alignment
+    (services/grandpa.py; layout parity with the reference's epoch-end path,
+    input/mod.rs:657-784)."""
+
+    def _encode_justification(self, j_round, set_id, block_hash, block_nb,
+                              keys, pubs, n_sign):
+        msg = indexer.build_signed_message(block_hash, block_nb, j_round,
+                                           set_id)
+        enc = j_round.to_bytes(8, "little")
+        enc += block_hash + block_nb.to_bytes(4, "little")
+        enc += scale.encode_compact_u32(n_sign)
+        for i in range(n_sign):
+            enc += block_hash + block_nb.to_bytes(4, "little")
+            enc += keys[i].sign(msg) + pubs[i]
+        enc += scale.encode_compact_u32(0)  # votes_ancestries: []
+        return enc, msg
+
+    def _mk(self, n_auth=6, n_sign=5):
+        keys = [Ed25519PrivateKey.generate() for _ in range(n_auth)]
+        pubs = [k.public_key().public_bytes(
+            serialization.Encoding.Raw,
+            serialization.PublicFormat.Raw) for k in keys]
+        block_hash = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+        enc, msg = self._encode_justification(9, 4, block_hash, 4096, keys,
+                                              pubs, n_sign)
+        return enc, msg, pubs, block_hash
+
+    def test_decode_round_trip(self):
+        enc, msg, pubs, block_hash = self._mk()
+        j = grandpa.decode_grandpa_justification(enc)
+        assert j.round == 9
+        assert j.target_hash == block_hash and j.target_number == 4096
+        assert len(j.precommits) == 5
+        assert j.precommits[0].pubkey == pubs[0]
+        assert len(j.precommits[0].signature) == 64
+
+    def test_finality_proof_wrapper(self):
+        enc, _, _, block_hash = self._mk()
+        fp = block_hash + scale.encode_compact_u32(len(enc)) + enc
+        fp += scale.encode_compact_u32(0)  # unknown_headers: []
+        bh, j = grandpa.decode_finality_proof(fp)
+        assert bh == block_hash and j.target_number == 4096
+
+    def test_align_matches_indexer_record(self):
+        enc, msg, pubs, _ = self._mk()
+        j = grandpa.decode_grandpa_justification(enc)
+        rec = grandpa.align_justification(j, pubs, 4, verify=False)
+        assert rec.block_number == 4096
+        assert rec.pubkeys == [p.hex() for p in pubs]
+        assert rec.validator_signed == [True] * 5 + [False]
+        assert rec.signatures[5] == grandpa.DUMMY_SIGNATURE.hex()
+        assert rec.signed_message == msg.hex()
+
+    def test_align_verifies_signatures_on_device(self):
+        enc, _, pubs, _ = self._mk(n_auth=4, n_sign=3)
+        j = grandpa.decode_grandpa_justification(enc)
+        rec = grandpa.align_justification(j, pubs, 4, verify=True)
+        assert sum(rec.validator_signed) == 3
+        # a corrupted signature must be rejected
+        bad = bytearray(enc)
+        bad[44 + 1 + 36] ^= 1  # first precommit's signature byte
+        # (compact count of 3 precommits encodes in 1 byte)
+        jb = grandpa.decode_grandpa_justification(bytes(bad))
+        with pytest.raises(AssertionError):
+            grandpa.align_justification(jb, pubs, 4, verify=True)

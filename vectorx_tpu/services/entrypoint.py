@@ -32,12 +32,20 @@ from .store import InMemoryStore
 
 
 class FixtureSource:
-    """Offline chain snapshots for hermetic prove runs."""
+    """Offline chain snapshots for hermetic prove runs.
 
-    def __init__(self, path: str):
+    Layout: {block}.header hex files; meta.json for last_justified /
+    authorities; justifications.json mapping block number -> the
+    StoredJustification record fields (the indexer's canonical format)."""
+
+    def __init__(self, path: str, max_authorities: int = consts.MAX_AUTHORITY_SET_SIZE):
         self.path = path
+        self.max_authorities = max_authorities
         meta_path = os.path.join(path, "meta.json")
         self.meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        jpath = os.path.join(path, "justifications.json")
+        self._justifications = (json.load(open(jpath))
+                                if os.path.exists(jpath) else {})
 
     def get_header(self, block_number: int) -> bytes:
         with open(os.path.join(self.path, f"{block_number}.header")) as f:
@@ -58,6 +66,26 @@ class FixtureSource:
     def get_authorities(self, block_number: int):
         return [bytes.fromhex(h) for h in self.meta["authorities"][str(block_number)]]
 
+    def get_authority_set_id(self, block_number: int) -> int:
+        return self.meta["authority_set_id"][str(block_number)]
+
+    def get_justification_data(self, block_number: int):
+        from ..services.store import StoredJustification
+        from .grandpa import to_device_justification
+        rec = StoredJustification(**self._justifications[str(block_number)])
+        return to_device_justification(rec, self.max_authorities)
+
+    def get_rotate_data(self, authority_set_id: int):
+        """-> (epoch_end_block, header, num_auth, start_pos, pubkeys) —
+        the RotateHint equivalent (reference rotate.rs:17-65)."""
+        from ..circuits.rotate import find_scheduled_change
+        block = self.last_justified_block(authority_set_id)
+        header = self.get_header(block)
+        found = find_scheduled_change(header)
+        if found is None:
+            raise LookupError(f"no ScheduledChange log in header {block}")
+        return (block, header) + found
+
 
 def _load_input(path: str) -> bytes:
     blob = json.load(open(path))
@@ -76,6 +104,8 @@ def run_program(program: str, input_bytes: bytes, source,
         return dummy.dummy_rotate(input_bytes, source)
     if program == "header_range":
         return _prove_header_range(input_bytes, source, tree_size)
+    if program == "rotate":
+        return _prove_rotate(input_bytes, source)
     raise SystemExit(f"unknown program: {program}")
 
 
@@ -107,17 +137,81 @@ def _prove_header_range(input_bytes: bytes, source, tree_size: int) -> bytes:
             + bytes(np.asarray(res.data_root_commitment)))
 
 
+def _prove_rotate(input_bytes: bytes, source) -> bytes:
+    """Witness-level verified rotate (reference rotate.rs:80-109): justify
+    the epoch-end header by the CURRENT set, check the ScheduledChange
+    encoding, output the NEW set's chained hash (32-byte ABI)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..circuits import header_range as hr
+
+    inp = RotateInput.decode(input_bytes)
+    block, header, start_pos, n_auth, pubkeys = source.get_rotate_data(
+        inp.authority_set_id)
+
+    padded = header + bytes((-len(header)) % consts.BLAKE2B_CHUNK_SIZE_BYTES)
+    pk = np.zeros((consts.MAX_AUTHORITY_SET_SIZE, 32), np.uint8)
+    for i, p in enumerate(pubkeys):
+        pk[i] = np.frombuffer(p, np.uint8)
+
+    jd = source.get_justification_data(block)
+    res = hr.rotate(
+        (jnp.uint32(inp.authority_set_id & 0xFFFFFFFF),
+         jnp.uint32(inp.authority_set_id >> 32)),
+        jnp.asarray(np.frombuffer(inp.authority_set_hash, np.uint8)),
+        jnp.uint32(block),
+        jnp.asarray(np.frombuffer(padded, np.uint8)),
+        jnp.int32(len(header)),
+        jnp.int32(n_auth),
+        jnp.int32(start_pos),
+        jnp.asarray(pk), jd)
+    if not bool(res.ok):
+        raise SystemExit("rotate verification FAILED")
+    return bytes(np.asarray(res.new_authority_set_hash))
+
+
+def _genesis(source, block: Optional[int]) -> dict:
+    """Deployment parameters for a trusted starting block — parity with the
+    reference's bin/genesis.rs:33-49 (prints height, header hash, authority
+    set id + hash). Keys match contracts/script/Deploy.s.sol env names."""
+    import hashlib
+    from ..circuits.commitments import authority_set_hash
+
+    header = source.get_header(block)
+    hash_ = hashlib.blake2b(header, digest_size=32).digest()
+    set_id = source.get_authority_set_id(block)
+    auths = source.get_authorities(block)
+    set_hash = authority_set_hash(auths)
+    return {
+        "GENESIS_HEIGHT": block,
+        "GENESIS_HEADER": "0x" + hash_.hex(),
+        "GENESIS_AUTHORITY_SET_ID": set_id,
+        "GENESIS_AUTHORITY_SET_HASH": "0x" + set_hash.hex(),
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vectorx_tpu")
     p.add_argument("program", choices=["dummy_header_range", "dummy_rotate",
-                                       "header_range", "rotate"])
-    p.add_argument("verb", choices=["build", "prove"])
+                                       "header_range", "rotate", "genesis"])
+    p.add_argument("verb", nargs="?", choices=["build", "prove"])
     p.add_argument("input", nargs="?", help="input.json for prove")
     p.add_argument("--fixtures", help="offline fixture dir")
+    p.add_argument("--block", type=int, help="genesis block number")
     p.add_argument("--tree-size", type=int,
                    default=consts.HEADER_RANGE_TREE_SIZE_SMALL)
     p.add_argument("--output", default="output.json")
     args = p.parse_args(argv)
+
+    if args.program == "genesis":
+        if args.block is None:
+            p.error("genesis requires --block")
+        source = FixtureSource(args.fixtures) if args.fixtures else _live_source()
+        print(json.dumps(_genesis(source, args.block), indent=2))
+        return 0
+
+    if args.verb is None:
+        p.error("build or prove verb required")
 
     if args.verb == "build":
         # warm the jit/persistent-cache for the program's shapes
@@ -165,6 +259,29 @@ def _live_source():
 
         def get_authorities(self, n):
             return self._run(self.client.get_authorities(n))
+
+        def get_authority_set_id(self, n):
+            return self._run(self.client.get_authority_set_id(n))
+
+        def get_justification_data(self, block):
+            from .grandpa import (JustificationProvider,
+                                  to_device_justification)
+            from .store import InMemoryStore, RedisStore
+            redis_url = os.environ.get("REDIS_URL")
+            store = (RedisStore(redis_url) if redis_url else InMemoryStore())
+            rec = self._run(
+                JustificationProvider(self.client, store).get(block))
+            return to_device_justification(rec, consts.MAX_AUTHORITY_SET_SIZE)
+
+        def get_rotate_data(self, authority_set_id):
+            from ..circuits.rotate import find_scheduled_change
+            block = self.last_justified_block(authority_set_id)
+            header = self.get_header(block)
+            found = find_scheduled_change(header)
+            if found is None:
+                raise LookupError(
+                    f"no ScheduledChange log in header {block}")
+            return (block, header) + found
 
     return LiveSource()
 
