@@ -75,8 +75,11 @@ def _dft_block_planes(n: int, w_root: int):
                 block[s, :, m, :] = planes[l]
     block = block.reshape(15 * n, 8 * n)
     rowsums = block.astype(np.int64).sum(axis=1).astype(np.int32)
-    return (jnp.asarray((block.astype(np.int16) - 128).astype(np.int8)),
-            jnp.asarray(rowsums.reshape(15, n)))
+    # NOTE: cached values must stay NUMPY — a cached jnp constant created
+    # while tracing leaks its tracer into later traces (jit retraces on new
+    # batch shapes). Callers jnp.asarray per trace.
+    return ((block.astype(np.int16) - 128).astype(np.int8),
+            rowsums.reshape(15, n))
 
 
 @lru_cache(maxsize=None)
@@ -92,8 +95,8 @@ def _twiddle_table(n1: int, n2: int, root: int) -> gl.Fp:
     for i in range(1, n1):
         T[i] = T[i - 1] * row % P
     T64 = T.astype(np.uint64)
-    return (jnp.asarray((T64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((T64 >> np.uint64(32)).astype(np.uint32)))
+    return ((T64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (T64 >> np.uint64(32)).astype(np.uint32))
 
 
 # ---------------------------------------------------------------------------

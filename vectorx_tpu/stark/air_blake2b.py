@@ -450,7 +450,7 @@ V_NUM_CONSTS = 148
 N_FIN_ROWS = 8
 
 
-class Blake2bVarAir(_GroupedAirBase):
+class Blake2bVarAir(Blake2bAir):
     """Variable-length Blake2b-256 over up to `max_chunks` 128-byte chunks.
 
     Parity target: the reference's `curta_blake2b_variable` semantics
