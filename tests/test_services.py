@@ -313,3 +313,77 @@ class TestGrandpaDecode:
         jb = grandpa.decode_grandpa_justification(bytes(bad))
         with pytest.raises(AssertionError):
             grandpa.align_justification(jb, pubs, 4, verify=True)
+
+
+class TestStarkEntrypointGlue:
+    """Host glue feeding stark/statements.py from service records (the
+    heavy prove paths themselves are covered by test_statements*.py)."""
+
+    def test_justification_host_inputs(self):
+        from vectorx_tpu.services.entrypoint import _justification_host_inputs
+        from vectorx_tpu.services.store import StoredJustification
+
+        keys = [Ed25519PrivateKey.generate() for _ in range(3)]
+        pubs = [k.public_key().public_bytes(
+            serialization.Encoding.Raw, serialization.PublicFormat.Raw)
+            for k in keys]
+        msg = scale.encode_precommit_bytes(bytes(32), 99, 5, 1)
+        sigs = [keys[0].sign(msg), bytes(64), keys[2].sign(msg)]
+        rec = StoredJustification(
+            block_number=99, signed_message=msg.hex(),
+            pubkeys=[p.hex() for p in pubs],
+            signatures=[s.hex() for s in sigs],
+            num_authorities=3, validator_signed=[True, False, True])
+        auths, out_sigs, round_ = _justification_host_inputs(rec)
+        assert auths == pubs
+        assert out_sigs[0] == sigs[0] and out_sigs[2] == sigs[2]
+        assert out_sigs[1] is None
+        assert round_ == 5
+
+    def test_default_max_chunks(self):
+        from vectorx_tpu.services.entrypoint import _default_max_chunks
+        assert _default_max_chunks([b"x" * 100]) == 2
+        assert _default_max_chunks([b"x" * 250]) == 2
+        # 252 needs the +4 safety margin -> 3 chunks
+        assert _default_max_chunks([b"x" * 252]) == 2
+        assert _default_max_chunks([b"x" * 253]) == 3
+        assert _default_max_chunks([b"x" * 300, b"x" * 120]) == 3
+
+
+class TestFixtureSource:
+    """The offline fixture-dir format driving the prove CLI hermetically
+    (entrypoint.FixtureSource; replaces the reference's live-Avail env for
+    CI — SURVEY.md §4 'snapshot chain data into offline fixtures')."""
+
+    def _make_dir(self, tmp_path, n_blocks=30):
+        import json
+        src = FakeSource(n_blocks)
+        meta = {"last_justified": {"7": 25},
+                "authority_set_id": {"25": 7},
+                "authorities": {"25": [bytes([i] * 32).hex()
+                                       for i in range(4)]}}
+        for b in range(n_blocks):
+            (tmp_path / f"{b}.header").write_text(src.get_header(b).hex())
+        (tmp_path / "meta.json").write_text(json.dumps(meta))
+        (tmp_path / "justifications.json").write_text("{}")
+        return src
+
+    def test_dummy_programs_via_fixture_dir(self, tmp_path):
+        from vectorx_tpu.services.entrypoint import FixtureSource, run_program
+        fake = self._make_dir(tmp_path)
+        fs = FixtureSource(str(tmp_path))
+        assert fs.get_header(12) == fake.get_header(12)
+        assert fs.get_roots_range(10, 20) == fake.get_roots_range(10, 20)
+        assert fs.last_justified_block(7) == 25
+        assert fs.get_authority_set_id(25) == 7
+
+        inp = HeaderRangeInput(10, bytes(32), 7, bytes(32), 25)
+        out = run_program("dummy_header_range", inp.encode(), fs,
+                          tree_size=16)
+        want = dummy.dummy_header_range(inp.encode(), fake, 16)
+        assert out == want
+
+        rinp = RotateInput(7, bytes(32))
+        out2 = run_program("dummy_rotate", rinp.encode(), fs)
+        assert out2 == commitments.authority_set_hash(
+            fs.get_authorities(25))

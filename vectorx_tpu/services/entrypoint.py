@@ -69,11 +69,14 @@ class FixtureSource:
     def get_authority_set_id(self, block_number: int) -> int:
         return self.meta["authority_set_id"][str(block_number)]
 
-    def get_justification_data(self, block_number: int):
+    def get_justification_record(self, block_number: int):
         from ..services.store import StoredJustification
+        return StoredJustification(**self._justifications[str(block_number)])
+
+    def get_justification_data(self, block_number: int):
         from .grandpa import to_device_justification
-        rec = StoredJustification(**self._justifications[str(block_number)])
-        return to_device_justification(rec, self.max_authorities)
+        return to_device_justification(self.get_justification_record(block_number),
+                                       self.max_authorities)
 
     def get_rotate_data(self, authority_set_id: int):
         """-> (epoch_end_block, header, num_auth, start_pos, pubkeys) —
@@ -97,16 +100,99 @@ def _load_input(path: str) -> bytes:
 
 
 def run_program(program: str, input_bytes: bytes, source,
-                tree_size: int = consts.HEADER_RANGE_TREE_SIZE_SMALL) -> bytes:
+                tree_size: int = consts.HEADER_RANGE_TREE_SIZE_SMALL,
+                stark: bool = False, proof_path: Optional[str] = None,
+                max_chunks: Optional[int] = None) -> bytes:
     if program == "dummy_header_range":
         return dummy.dummy_header_range(input_bytes, source, tree_size)
     if program == "dummy_rotate":
         return dummy.dummy_rotate(input_bytes, source)
     if program == "header_range":
+        if stark:
+            return _prove_header_range_stark(input_bytes, source, tree_size,
+                                             proof_path, max_chunks)
         return _prove_header_range(input_bytes, source, tree_size)
     if program == "rotate":
+        if stark:
+            return _prove_rotate_stark(input_bytes, source, proof_path,
+                                       max_chunks)
         return _prove_rotate(input_bytes, source)
     raise SystemExit(f"unknown program: {program}")
+
+
+def _justification_host_inputs(rec):
+    """StoredJustification -> (authorities, signatures-or-None, round)."""
+    from ..circuits import scale
+    pubs = [bytes.fromhex(p) for p in rec.pubkeys]
+    sigs = [bytes.fromhex(s) if signed else None
+            for s, signed in zip(rec.signatures, rec.validator_signed)]
+    _, _, round_, _ = scale.decode_precommit_bytes(
+        bytes.fromhex(rec.signed_message))
+    return pubs[:rec.num_authorities], sigs[:rec.num_authorities], round_
+
+
+def _stark_config():
+    from ..stark.prover import StarkConfig
+    return StarkConfig()
+
+
+def _default_max_chunks(headers) -> int:
+    need = max((len(h) + 4 + 127) // 128 for h in headers)
+    return max(need, 2)
+
+
+def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
+                              proof_path: Optional[str],
+                              max_chunks: Optional[int]) -> bytes:
+    """Full STARK bundle for header_range (stark/statements.py): proves,
+    self-verifies, writes the serialized bundle artifact, returns the
+    96-byte contract output."""
+    from ..stark import statements as st
+
+    inp = HeaderRangeInput.decode(input_bytes)
+    headers = [source.get_header(b)
+               for b in range(inp.trusted_block + 1, inp.target_block + 1)]
+    rec = source.get_justification_record(inp.target_block)
+    authorities, signatures, round_ = _justification_host_inputs(rec)
+    config = _stark_config()
+    bundle = st.prove_header_range(
+        inp.trusted_block, inp.target_block, headers, authorities,
+        signatures, inp.authority_set_id, round_, config,
+        tree_size=tree_size,
+        max_chunks=max_chunks or _default_max_chunks(headers),
+        max_authorities=consts.MAX_AUTHORITY_SET_SIZE)
+    target_hash, state_c, data_c = st.verify_header_range(
+        bundle, inp.trusted_block, inp.trusted_header_hash,
+        inp.authority_set_id, inp.authority_set_hash, inp.target_block,
+        config)
+    if proof_path:
+        with open(proof_path, "wb") as f:
+            f.write(st.serialize_header_range(bundle, config))
+    return target_hash + state_c + data_c
+
+
+def _prove_rotate_stark(input_bytes: bytes, source,
+                        proof_path: Optional[str],
+                        max_chunks: Optional[int]) -> bytes:
+    from ..stark import statements as st
+
+    inp = RotateInput.decode(input_bytes)
+    block, header, _start, _n, _pks = source.get_rotate_data(
+        inp.authority_set_id)
+    rec = source.get_justification_record(block)
+    authorities, signatures, round_ = _justification_host_inputs(rec)
+    config = _stark_config()
+    bundle = st.prove_rotate(
+        block, header, authorities, signatures, inp.authority_set_id,
+        round_, config,
+        max_chunks=max_chunks or _default_max_chunks([header]),
+        max_authorities=consts.MAX_AUTHORITY_SET_SIZE)
+    new_hash = st.verify_rotate(bundle, inp.authority_set_id,
+                                inp.authority_set_hash, config)
+    if proof_path:
+        with open(proof_path, "wb") as f:
+            f.write(st.serialize_rotate(bundle, config))
+    return new_hash
 
 
 def _prove_header_range(input_bytes: bytes, source, tree_size: int) -> bytes:
@@ -201,6 +287,11 @@ def main(argv=None) -> int:
     p.add_argument("--tree-size", type=int,
                    default=consts.HEADER_RANGE_TREE_SIZE_SMALL)
     p.add_argument("--output", default="output.json")
+    p.add_argument("--stark", action="store_true",
+                   help="emit a full STARK bundle (default: witness-level)")
+    p.add_argument("--proof", help="path for the serialized proof bundle")
+    p.add_argument("--max-chunks", type=int,
+                   help="HeaderAir Blake2b chunk capacity override")
     args = p.parse_args(argv)
 
     if args.program == "genesis":
@@ -222,7 +313,8 @@ def main(argv=None) -> int:
         p.error("prove requires input.json")
     source = FixtureSource(args.fixtures) if args.fixtures else _live_source()
     out = run_program(args.program, _load_input(args.input), source,
-                      args.tree_size)
+                      args.tree_size, stark=args.stark,
+                      proof_path=args.proof, max_chunks=args.max_chunks)
     result = {"output": "0x" + out.hex(), "ok": True}
     with open(args.output, "w") as f:
         json.dump(result, f)
@@ -263,15 +355,19 @@ def _live_source():
         def get_authority_set_id(self, n):
             return self._run(self.client.get_authority_set_id(n))
 
-        def get_justification_data(self, block):
-            from .grandpa import (JustificationProvider,
-                                  to_device_justification)
+        def get_justification_record(self, block):
+            from .grandpa import JustificationProvider
             from .store import InMemoryStore, RedisStore
             redis_url = os.environ.get("REDIS_URL")
             store = (RedisStore(redis_url) if redis_url else InMemoryStore())
-            rec = self._run(
+            return self._run(
                 JustificationProvider(self.client, store).get(block))
-            return to_device_justification(rec, consts.MAX_AUTHORITY_SET_SIZE)
+
+        def get_justification_data(self, block):
+            from .grandpa import to_device_justification
+            return to_device_justification(
+                self.get_justification_record(block),
+                consts.MAX_AUTHORITY_SET_SIZE)
 
         def get_rotate_data(self, authority_set_id):
             from ..circuits.rotate import find_scheduled_change

@@ -75,6 +75,60 @@ def deserialize_proof(data: bytes, like) -> Any:
     return jax.tree_util.tree_unflatten(like_treedef, leaves)
 
 
+def empty_proof_like_shapes(air, config, log_n: int):
+    """A zero StarkProof with the exact pytree structure/shapes that
+    `prover.prove(air, ..., config)` emits for a 2^log_n-row trace —
+    the deserialization template (`like`) reconstructible from the prover
+    configuration alone, so proof artifacts can be loaded by a process
+    that never proved (the reference's build/prove split,
+    succinct.json:6-9)."""
+    from . import fri as fr
+    from . import prover as pv
+
+    q = config.num_queries
+    C = air.num_cols
+    chunks = pv.num_quotient_chunks(air)
+    cap = 1 << config.cap_height
+    log_n0 = log_n + config.rate_bits
+    depth = log_n0 - config.cap_height
+
+    def fp(*shape):
+        return (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32))
+
+    def fp2(*shape):
+        return (fp(*shape), fp(*shape))
+
+    fc = config.fri_config
+    n_layers = fc.num_layers(log_n0)
+    caps = [fp(cap, 4) for _ in range(n_layers)]
+    q_leaves = [fp(q, 4) for _ in range(n_layers)]
+    q_paths = [fp(q, log_n0 - layer - 1 - config.cap_height, 4)
+               for layer in range(n_layers)]
+    fri_proof = fr.FriProof(caps=caps, final_coeffs=fp2(fc.final_poly_len),
+                            query_leaves=q_leaves, query_paths=q_paths)
+
+    n_lk = len(air.lookup_range_columns())
+    has_lk = n_lk > 0
+    n_aux = pv.num_aux_cols(n_lk) if has_lk else 0
+    from .prover import StarkProof
+    return StarkProof(
+        trace_cap=fp(cap, 4), quotient_cap=fp(cap, 4),
+        trace_zeta=fp2(C), trace_gzeta=fp2(C), quotient_zeta=fp2(chunks),
+        fri_proof=fri_proof,
+        trace_rows_a=fp(q, C), trace_rows_b=fp(q, C),
+        trace_paths_a=fp(q, depth, 4), trace_paths_b=fp(q, depth, 4),
+        quot_rows_a=fp(q, 2 * chunks), quot_rows_b=fp(q, 2 * chunks),
+        quot_paths_a=fp(q, depth, 4), quot_paths_b=fp(q, depth, 4),
+        aux_cap=fp(cap, 4) if has_lk else None,
+        aux_zeta=fp2(n_aux) if has_lk else None,
+        aux_gzeta=fp2(n_aux) if has_lk else None,
+        aux_rows_a=fp(q, n_aux) if has_lk else None,
+        aux_rows_b=fp(q, n_aux) if has_lk else None,
+        aux_paths_a=fp(q, depth, 4) if has_lk else None,
+        aux_paths_b=fp(q, depth, 4) if has_lk else None,
+    )
+
+
 def serialize_config(config) -> bytes:
     return json.dumps({"version": VERSION, **asdict(config)},
                       sort_keys=True).encode()
