@@ -177,12 +177,39 @@ def _coset_intt_fp2(cw: ext.Fp2, log_n0: int, layer: int) -> ext.Fp2:
 # Prover
 # ---------------------------------------------------------------------------
 
-def prove(codeword: ext.Fp2, challenger: Challenger, config: FriConfig) -> FriProof:
+_prove_jit = {}
+
+
+def prove(codeword: ext.Fp2, challenger: Challenger, config: FriConfig):
     """Commit-phase + query-phase for a (N,) GF(p^2) codeword.
 
     The caller must already have bound the codeword's provenance into the
-    transcript (e.g. by observing trace commitments).
-    """
+    transcript (e.g. by observing trace commitments). On accelerator
+    backends the whole commit+query pipeline (folds, layer Merkle trees,
+    transcript absorption, query openings) fuses under ONE jit — the FRI
+    loop is otherwise ~100 tiny dispatches per prove."""
+    from .prover import phase_jit_enabled
+    if not phase_jit_enabled():
+        return _prove_impl(codeword, challenger, config)
+    n = codeword[0][0].shape[0]
+    key = (n.bit_length() - 1, config.rate_bits, config.num_queries,
+           config.final_poly_len, config.cap_height,
+           len(challenger.pending))
+    if key not in _prove_jit:
+        def fn(cw, state, pending):
+            ch = Challenger(state=state, pending=list(pending))
+            proof, idx = _prove_impl(cw, ch, config)
+            return proof, idx, ch.state, tuple(ch.pending)
+        _prove_jit[key] = jax.jit(fn)
+    proof, idx, st, pend = _prove_jit[key](
+        codeword, challenger.state, tuple(challenger.pending))
+    challenger.state = st
+    challenger.pending = list(pend)
+    return proof, idx
+
+
+def _prove_impl(codeword: ext.Fp2, challenger: Challenger,
+                config: FriConfig):
     n = codeword[0][0].shape[0]
     log_n = n.bit_length() - 1
     num_layers = config.num_layers(log_n)

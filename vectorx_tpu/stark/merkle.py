@@ -51,10 +51,7 @@ def hash_leaves(rows: gl.Fp) -> Digest:
     return ps.hash_many(rows)
 
 
-def build(rows: gl.Fp, cap_height: int = 0) -> MerkleTree:
-    n = rows[0].shape[0]
-    assert n & (n - 1) == 0, "leaf count must be a power of two"
-    assert (1 << cap_height) <= n
+def _build_levels(rows: gl.Fp, cap_height: int) -> List[Digest]:
     digests = hash_leaves(rows)
     levels = [digests]
     while digests[0].shape[0] > (1 << cap_height):
@@ -62,6 +59,27 @@ def build(rows: gl.Fp, cap_height: int = 0) -> MerkleTree:
         right = (digests[0][1::2], digests[1][1::2])
         digests = ps.hash_two_to_one(left, right)
         levels.append(digests)
+    return levels
+
+
+_build_jit = {}
+
+
+def build(rows: gl.Fp, cap_height: int = 0) -> MerkleTree:
+    n = rows[0].shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    assert (1 << cap_height) <= n
+    from .prover import phase_jit_enabled
+    if phase_jit_enabled():
+        # one fused program per (n, width, cap): leaf sponge + all levels
+        key = (n, rows[0].shape[1], cap_height)
+        if key not in _build_jit:
+            import jax
+            _build_jit[key] = jax.jit(
+                lambda r, ch=cap_height: _build_levels(r, ch))
+        levels = _build_jit[key](rows)
+    else:
+        levels = _build_levels(rows, cap_height)
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 

@@ -281,6 +281,207 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
     return cols_lo, cols_hi
 
 
+def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
+                       n_lookups: int):
+    """Build the (traceable) quotient-phase function for one AIR/shape.
+
+    ONE jitted program covers: constraint evaluation over the LDE domain,
+    lookup constraint evaluation, α-combination, vanishing division, chunk
+    split + re-evaluation. Keeping this under a single jit is the
+    difference between ~10 device dispatches and ~10,000 eager ones per
+    prove (the dominant prover cost on the axon tunnel)."""
+    n = 1 << log_n
+    n_lde = n << rate
+    blowup = 1 << rate
+    num_cols = air.num_cols
+    g_dom = gl.primitive_root_of_unity(log_n)
+    g_last = pow(g_dom, n - 1, P)
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    n_chunks = num_quotient_chunks(air)
+
+    def fn(trace_lde, cfp, publics, alpha, gamma, aux_lde):
+        alg = BaseVecAlgebra((n_lde,))
+        local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
+        # one roll of the whole (C, N_lde) tensor, then per-column views (a
+        # per-column roll costs thousands of ops to trace for limb AIRs)
+        r_lo = jnp.roll(trace_lde[0], -blowup, axis=1)
+        r_hi = jnp.roll(trace_lde[1], -blowup, axis=1)
+        nxt = [(r_lo[c], r_hi[c]) for c in range(num_cols)]
+        if cfp is not None:
+            c_lde = pntt.coset_lde(cfp, rate)
+            consts = [(c_lde[0][i], c_lde[1][i])
+                      for i in range(cfp[0].shape[0])]
+            cr_lo = jnp.roll(c_lde[0], -blowup, axis=1)
+            cr_hi = jnp.roll(c_lde[1], -blowup, axis=1)
+            consts_next = [(cr_lo[i], cr_hi[i])
+                           for i in range(cfp[0].shape[0])]
+        else:
+            consts, consts_next = [], []
+        ct = air.transition(alg, local, nxt, publics, consts, consts_next)
+        cf = air.first_row(alg, local, publics, consts)
+        cl = air.last_row(alg, local, publics, consts)
+
+        if has_lk:
+            lk_p = _padded_lk(air.lookup_range_columns())
+            kk2 = len(lk_p) // 2
+            t_lde = pntt.coset_lde((_ramp_fp(n)[0][None, :],
+                                    _ramp_fp(n)[1][None, :]), rate)
+            ci = jnp.asarray(lk_p, dtype=jnp.int32)
+            w_all = ext.from_base((trace_lde[0][ci], trace_lde[1][ci]))
+            w0_g = _ext_slice0(w_all, slice(0, None, 2))    # (kk2, N_lde)
+            w1_g = _ext_slice0(w_all, slice(1, None, 2))
+            invs_g = ((aux_lde[0][0:2 * kk2:2], aux_lde[1][0:2 * kk2:2]),
+                      (aux_lde[0][1:2 * kk2:2], aux_lde[1][1:2 * kk2:2]))
+
+            def aux_elem(i):
+                return ((aux_lde[0][2 * i], aux_lde[1][2 * i]),
+                        (aux_lde[0][2 * i + 1], aux_lde[1][2 * i + 1]))
+
+            inv_t_v = aux_elem(kk2)
+            m_v = ext.from_base((aux_lde[0][2 * kk2 + 2],
+                                 aux_lde[1][2 * kk2 + 2]))
+            s_v = ((aux_lde[0][2 * kk2 + 3], aux_lde[1][2 * kk2 + 3]),
+                   (aux_lde[0][2 * kk2 + 4], aux_lde[1][2 * kk2 + 4]))
+            s_next_v = ((jnp.roll(aux_lde[0][2 * kk2 + 3], -blowup),
+                         jnp.roll(aux_lde[1][2 * kk2 + 3], -blowup)),
+                        (jnp.roll(aux_lde[0][2 * kk2 + 4], -blowup),
+                         jnp.roll(aux_lde[1][2 * kk2 + 4], -blowup)))
+            t_v = ext.from_base((t_lde[0][0], t_lde[1][0]))
+            lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
+                gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v, t_v)
+        else:
+            lk_e, lk_t, lk_f, lk_l = [], [], [], []
+
+        def _group_size(c):
+            g = c[0].shape[:-1]
+            return int(np.prod(g)) if g else 1
+
+        def _group_size_ext(c):
+            g = c[0][0].shape[:-1]
+            return int(np.prod(g)) if g else 1
+
+        n_constraints = (sum(_group_size(c) for c in ct + cf + cl)
+                         + sum(_group_size_ext(c)
+                               for c in lk_t + lk_f + lk_l + lk_e))
+        alphas_arr = _alpha_power_array(alpha, n_constraints)
+
+        def _bc_mul(a, b):
+            return gl.mul((jnp.broadcast_to(a[0], b[0].shape),
+                           jnp.broadcast_to(a[1], b[0].shape)), b)
+
+        def _combine(constraints, alphas_all, k0):
+            """α-combine; GROUPED leading axes count as independent
+            constraints, each with its own α (one stacked weighted sum)."""
+            acc = ext.zeros((n_lde,))
+            k = k0
+            for c in constraints:
+                group = c[0].shape[:-1]
+                m = int(np.prod(group)) if group else 1
+                cf_ = (c[0].reshape(m, n_lde), c[1].reshape(m, n_lde))
+                al = _slice_ext(alphas_all, k, k + m)
+                a_re = (al[0][0][:, None], al[0][1][:, None])
+                a_im = (al[1][0][:, None], al[1][1][:, None])
+                re = gl.sum_mod(_bc_mul(a_re, cf_), axis=0)
+                im = gl.sum_mod(_bc_mul(a_im, cf_), axis=0)
+                acc = ext.add(acc, (re, im))
+                k += m
+            return acc, k
+
+        def _combine_ext(constraints, alphas_all, k0, acc):
+            k = k0
+            for c in constraints:
+                group = c[0][0].shape[:-1]
+                if not group:
+                    acc = ext.add(acc,
+                                  _ext_vec_scale(_pick_ext(alphas_all, k), c))
+                    k += 1
+                    continue
+                m = int(np.prod(group))
+                cc = ((c[0][0].reshape(m, n_lde), c[0][1].reshape(m, n_lde)),
+                      (c[1][0].reshape(m, n_lde), c[1][1].reshape(m, n_lde)))
+                al = _ext_col(_slice_ext(alphas_all, k, k + m))
+                acc = ext.add(acc, _ext_sum0(ext.mul(al, cc)))
+                k += m
+            return acc, k
+
+        k = 0
+        ct_comb, k = _combine(ct, alphas_arr, k)
+        ct_comb, k = _combine_ext(lk_t, alphas_arr, k, ct_comb)
+        cf_comb, k = _combine(cf, alphas_arr, k)
+        cf_comb, k = _combine_ext(lk_f, alphas_arr, k, cf_comb)
+        cl_comb, k = _combine(cl, alphas_arr, k)
+        cl_comb, k = _combine_ext(lk_l, alphas_arr, k, cl_comb)
+        ce_comb, k = _combine_ext(lk_e, alphas_arr, k, ext.zeros((n_lde,)))
+
+        # quotient: divide by the per-class vanishing polynomials
+        x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
+        zh = pdom.vanishing_on_coset(log_n, rate, shift)
+        inv_zh = gl.inv(zh)
+        x_minus_glast = gl.sub(x, gl.full((n_lde,), g_last))
+        inv_x_minus_1 = gl.inv(gl.sub(x, gl.ones((n_lde,))))
+        inv_x_minus_glast = gl.inv(x_minus_glast)
+
+        q_t = ext.mul_base(ext.mul_base(ct_comb, x_minus_glast), inv_zh)
+        q_f = ext.mul_base(cf_comb, inv_x_minus_1)
+        q_l = ext.mul_base(cl_comb, inv_x_minus_glast)
+        q_e = ext.mul_base(ce_comb, inv_zh)              # every-row class
+        quotient = ext.add(ext.add(ext.add(q_t, q_f), q_l), q_e)
+
+        # split into degree-N chunks; evaluate on coset LDE + subgroup
+        q_coeffs_re = pntt.coset_intt(quotient[0], shift)
+        q_coeffs_im = pntt.coset_intt(quotient[1], shift)
+        chunk_evals_lde, chunk_evals_sub = [], []
+        for i in range(n_chunks):
+            cre = (q_coeffs_re[0][i * n:(i + 1) * n],
+                   q_coeffs_re[1][i * n:(i + 1) * n])
+            cim = (q_coeffs_im[0][i * n:(i + 1) * n],
+                   q_coeffs_im[1][i * n:(i + 1) * n])
+            chunk_evals_lde.append(
+                (pntt.coeffs_to_coset_evals(cre, rate, shift),
+                 pntt.coeffs_to_coset_evals(cim, rate, shift)))
+            chunk_evals_sub.append((pntt.ntt(cre), pntt.ntt(cim)))
+        quot_cols_lo = jnp.stack(
+            [c[j][0] for c in chunk_evals_lde for j in (0, 1)])
+        quot_cols_hi = jnp.stack(
+            [c[j][1] for c in chunk_evals_lde for j in (0, 1)])
+        return (quot_cols_lo, quot_cols_hi), chunk_evals_lde, chunk_evals_sub
+
+    return fn
+
+
+def phase_jit_enabled() -> bool:
+    """Fuse whole prover/verifier phases under one jit?
+
+    ON for accelerator backends: the phases are dispatch-bound there
+    (thousands of eager op launches through the device tunnel dominate a
+    warm prove ~20x). OFF by default on CPU, where XLA:CPU's compile time
+    for the fused graphs outweighs eager dispatch (the hermetic test mesh);
+    VX_PHASE_JIT=1/0 overrides."""
+    import os
+    env = os.environ.get("VX_PHASE_JIT")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
+def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
+                    publics, alpha, gamma, aux_lde):
+    """Per-(air, shape) cached (optionally jitted) quotient phase."""
+    has_lk = len(air.lookup_range_columns()) > 0
+    cache = air.__dict__.setdefault("_vx_qjit", {})
+    key = (log_n, rate, len(publics), phase_jit_enabled())
+    if key not in cache:
+        fn = _quotient_phase_fn(air, log_n, rate, has_lk,
+                                len(air.lookup_range_columns()))
+        cache[key] = jax.jit(fn) if phase_jit_enabled() else fn
+    if has_lk:
+        return cache[key](trace_lde, cfp, publics, alpha, gamma, aux_lde)
+    # gamma/aux unused in the non-lookup trace; pass static placeholders
+    unit = ext.zeros(())
+    dummy_aux = (jnp.zeros((0, 1 << (log_n + rate)), jnp.uint32),) * 2
+    return cache[key](trace_lde, cfp, publics, alpha, unit, dummy_aux)
+
+
 def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
           challenger: Challenger | None = None) -> StarkProof:
     """trace: (num_cols, N) base field; publics: list of scalar Fp."""
@@ -322,155 +523,13 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     alpha = challenger.squeeze_ext(1)
     alpha = ((alpha[0][0][0], alpha[0][1][0]), (alpha[1][0][0], alpha[1][1][0]))
 
-    # -- 3: constraints on the LDE domain ---------------------------------
-    alg = BaseVecAlgebra((n_lde,))
-    local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
-    # one roll of the whole (C, N_lde) tensor, then per-column views (a
-    # per-column roll costs thousands of ops to trace for limb-heavy AIRs)
-    r_lo = jnp.roll(trace_lde[0], -blowup, axis=1)
-    r_hi = jnp.roll(trace_lde[1], -blowup, axis=1)
-    nxt = [(r_lo[c], r_hi[c]) for c in range(num_cols)]
+    # -- 3/4: constraints + quotient (ONE jitted program per air/shape) ----
     cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
-    if cvals.shape[0]:
-        cfp = gl.to_fp(cvals)
-        c_lde = pntt.coset_lde(cfp, rate)
-        consts = [(c_lde[0][i], c_lde[1][i]) for i in range(cvals.shape[0])]
-        cr_lo = jnp.roll(c_lde[0], -blowup, axis=1)
-        cr_hi = jnp.roll(c_lde[1], -blowup, axis=1)
-        consts_next = [(cr_lo[i], cr_hi[i]) for i in range(cvals.shape[0])]
-    else:
-        consts, consts_next = [], []
-    ct = air.transition(alg, local, nxt, publics, consts, consts_next)
-    cf = air.first_row(alg, local, publics, consts)
-    cl = air.last_row(alg, local, publics, consts)
-
-    # lookup constraints on the LDE domain (ext-valued vectors)
-    if has_lk:
-        lk_p = _padded_lk(lk_cols)
-        kk2 = len(lk_p) // 2
-        t_lde = pntt.coset_lde((_ramp_fp(n)[0][None, :],
-                                _ramp_fp(n)[1][None, :]), rate)
-        ci = jnp.asarray(lk_p, dtype=jnp.int32)
-        w_all = ext.from_base((trace_lde[0][ci], trace_lde[1][ci]))
-        w0_g = _ext_slice0(w_all, slice(0, None, 2))        # (kk2, N_lde)
-        w1_g = _ext_slice0(w_all, slice(1, None, 2))
-        invs_g = ((aux_lde[0][0:2 * kk2:2], aux_lde[1][0:2 * kk2:2]),
-                  (aux_lde[0][1:2 * kk2:2], aux_lde[1][1:2 * kk2:2]))
-
-        def aux_elem(i):
-            return ((aux_lde[0][2 * i], aux_lde[1][2 * i]),
-                    (aux_lde[0][2 * i + 1], aux_lde[1][2 * i + 1]))
-
-        inv_t_v = aux_elem(kk2)
-        m_v = ext.from_base((aux_lde[0][2 * kk2 + 2], aux_lde[1][2 * kk2 + 2]))
-        s_v = ((aux_lde[0][2 * kk2 + 3], aux_lde[1][2 * kk2 + 3]),
-               (aux_lde[0][2 * kk2 + 4], aux_lde[1][2 * kk2 + 4]))
-        s_next_v = ((jnp.roll(aux_lde[0][2 * kk2 + 3], -blowup),
-                     jnp.roll(aux_lde[1][2 * kk2 + 3], -blowup)),
-                    (jnp.roll(aux_lde[0][2 * kk2 + 4], -blowup),
-                     jnp.roll(aux_lde[1][2 * kk2 + 4], -blowup)))
-        t_v = ext.from_base((t_lde[0][0], t_lde[1][0]))
-        lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
-            gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v, t_v)
-    else:
-        lk_e, lk_t, lk_f, lk_l = [], [], [], []
-
-    def _group_size(c):
-        g = c[0].shape[:-1]
-        return int(np.prod(g)) if g else 1
-
-    def _group_size_ext(c):
-        g = c[0][0].shape[:-1]
-        return int(np.prod(g)) if g else 1
-
-    n_constraints = (sum(_group_size(c) for c in ct + cf + cl)
-                     + sum(_group_size_ext(c)
-                           for c in lk_t + lk_f + lk_l + lk_e))
-    alphas_arr = _alpha_power_array(alpha, n_constraints)
-
-    def _combine(constraints, alphas_all, k0):
-        """α-combine; constraints may be GROUPED (leading axes before the
-        domain axis count as independent constraints, each with its own α —
-        the TPU-native form: e.g. one (32, N_lde) tensor = 32 bit
-        constraints combined via a stacked-α weighted sum)."""
-        acc = ext.zeros((n_lde,))
-        k = k0
-        for c in constraints:
-            group = c[0].shape[:-1]
-            m = int(np.prod(group)) if group else 1
-            cf_ = (c[0].reshape(m, n_lde), c[1].reshape(m, n_lde))
-            al = _slice_ext(alphas_all, k, k + m)
-            a_re = (al[0][0][:, None], al[0][1][:, None])
-            a_im = (al[1][0][:, None], al[1][1][:, None])
-            re = gl.sum_mod(_bc_mul(a_re, cf_), axis=0)
-            im = gl.sum_mod(_bc_mul(a_im, cf_), axis=0)
-            acc = ext.add(acc, (re, im))
-            k += m
-        return acc, k
-
-    def _bc_mul(a, b):
-        return gl.mul((jnp.broadcast_to(a[0], b[0].shape),
-                       jnp.broadcast_to(a[1], b[0].shape)), b)
-
-    def _combine_ext(constraints, alphas_all, k0, acc):
-        """α-combine ext-valued constraints; GROUPED leading axes count as
-        independent constraints, mirroring _combine for base constraints."""
-        k = k0
-        for c in constraints:
-            group = c[0][0].shape[:-1]
-            if not group:
-                acc = ext.add(acc, _ext_vec_scale(_pick_ext(alphas_all, k), c))
-                k += 1
-                continue
-            m = int(np.prod(group))
-            cc = ((c[0][0].reshape(m, n_lde), c[0][1].reshape(m, n_lde)),
-                  (c[1][0].reshape(m, n_lde), c[1][1].reshape(m, n_lde)))
-            al = _ext_col(_slice_ext(alphas_all, k, k + m))
-            acc = ext.add(acc, _ext_sum0(ext.mul(al, cc)))
-            k += m
-        return acc, k
-
-    k = 0
-    ct_comb, k = _combine(ct, alphas_arr, k)
-    ct_comb, k = _combine_ext(lk_t, alphas_arr, k, ct_comb)
-    cf_comb, k = _combine(cf, alphas_arr, k)
-    cf_comb, k = _combine_ext(lk_f, alphas_arr, k, cf_comb)
-    cl_comb, k = _combine(cl, alphas_arr, k)
-    cl_comb, k = _combine_ext(lk_l, alphas_arr, k, cl_comb)
-    ce_comb, k = _combine_ext(lk_e, alphas_arr, k, ext.zeros((n_lde,)))
-
-    # -- 4: quotient -------------------------------------------------------
-    x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
-    zh = pdom.vanishing_on_coset(log_n, rate, shift)
-    inv_zh = gl.inv(zh)
-    x_minus_glast = gl.sub(x, gl.full((n_lde,), g_last))
-    inv_x_minus_1 = gl.inv(gl.sub(x, gl.ones((n_lde,))))
-    inv_x_minus_glast = gl.inv(x_minus_glast)
-
-    # transition: C_t / ((x^N-1)/(x-g_last)) = C_t * (x-g_last) * inv(x^N-1)
-    q_t = ext.mul_base(ext.mul_base(ct_comb, x_minus_glast), inv_zh)
-    q_f = ext.mul_base(cf_comb, inv_x_minus_1)
-    q_l = ext.mul_base(cl_comb, inv_x_minus_glast)
-    q_e = ext.mul_base(ce_comb, inv_zh)              # every-row class
-    quotient = ext.add(ext.add(ext.add(q_t, q_f), q_l), q_e)  # (N_lde,) Fp2
-
-    # split into degree-N chunks; commit each chunk's coset evals
-    q_coeffs_re = pntt.coset_intt(quotient[0], shift)
-    q_coeffs_im = pntt.coset_intt(quotient[1], shift)
+    cfp = gl.to_fp(cvals) if cvals.shape[0] else None
+    quot_cols, chunk_evals_lde, chunk_evals_sub = _quotient_phase(
+        air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde)
     n_chunks = num_quotient_chunks(air)
-    chunk_evals_lde = []     # per chunk: Fp2 (N_lde,)
-    chunk_evals_sub = []     # per chunk: Fp2 (N,) subgroup evals (for opening)
-    for i in range(n_chunks):
-        cre = (q_coeffs_re[0][i * n:(i + 1) * n], q_coeffs_re[1][i * n:(i + 1) * n])
-        cim = (q_coeffs_im[0][i * n:(i + 1) * n], q_coeffs_im[1][i * n:(i + 1) * n])
-        chunk_evals_lde.append((pntt.coeffs_to_coset_evals(cre, rate, shift),
-                                pntt.coeffs_to_coset_evals(cim, rate, shift)))
-        chunk_evals_sub.append((pntt.ntt(cre), pntt.ntt(cim)))
-
-    quot_cols_lo = jnp.stack(
-        [c[j][0] for c in chunk_evals_lde for j in (0, 1)])   # (2*chunks, N_lde)
-    quot_cols_hi = jnp.stack(
-        [c[j][1] for c in chunk_evals_lde for j in (0, 1)])
+    quot_cols_lo, quot_cols_hi = quot_cols
     quot_rows = (quot_cols_lo.T, quot_cols_hi.T)              # (N_lde, 2*chunks)
     quot_tree = merkle.build(quot_rows, cap_height=config.cap_height)
     challenger.observe_digests(quot_tree.cap)
@@ -537,6 +596,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
 
     # -- DEEP composition codeword ----------------------------------------
+    x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
     xe = ext.from_base(x)
     inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, n_lde)))
     inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))

@@ -32,6 +32,146 @@ from .prover import (StarkConfig, StarkProof, _alpha_power_array, _broadcast_ext
 P = gl.MODULUS
 
 
+def _ali_phase_fn(air: Air, log_n: int, has_lk: bool):
+    """Build the traceable ALI-at-ζ check for one AIR/shape."""
+    n = 1 << log_n
+    num_cols = air.num_cols
+    n_chunks = num_quotient_chunks(air)
+    g_dom = gl.primitive_root_of_unity(log_n)
+    g_last = pow(g_dom, n - 1, P)
+
+    def fn(trace_zeta, trace_gzeta, quotient_zeta, aux_zeta, aux_gzeta,
+           publics, alpha, zeta, gamma, cfp):
+        alg = ExtAlgebra()
+        local = [_pick_ext(trace_zeta, c) for c in range(num_cols)]
+        nxt = [_pick_ext(trace_gzeta, c) for c in range(num_cols)]
+        if cfp is not None:
+            g_zeta_pt = ext.mul_base(zeta, gl.full((), g_dom))
+            cz = pdom.barycentric_eval(cfp, zeta, log_n)
+            cgz = pdom.barycentric_eval(cfp, g_zeta_pt, log_n)
+            consts = [_pick_ext(cz, i) for i in range(cfp[0].shape[0])]
+            consts_next = [_pick_ext(cgz, i) for i in range(cfp[0].shape[0])]
+        else:
+            consts, consts_next = [], []
+        ct = air.transition(alg, local, nxt, publics, consts, consts_next)
+        cf = air.first_row(alg, local, publics, consts)
+        cl = air.last_row(alg, local, publics, consts)
+
+        if has_lk:
+            from .prover import _padded_lk
+            lk_p = _padded_lk(air.lookup_range_columns())
+            kk2 = len(lk_p) // 2
+
+            def aux_at(op, i):
+                return _recombine_u(_pick_ext(op, 2 * i),
+                                    _pick_ext(op, 2 * i + 1))
+
+            def aux_slice_g(op):
+                re_g = ((op[0][0][0:2 * kk2:2], op[0][1][0:2 * kk2:2]),
+                        (op[1][0][0:2 * kk2:2], op[1][1][0:2 * kk2:2]))
+                im_g = ((op[0][0][1:2 * kk2:2], op[0][1][1:2 * kk2:2]),
+                        (op[1][0][1:2 * kk2:2], op[1][1][1:2 * kk2:2]))
+                return _recombine_u(re_g, im_g)
+
+            invs_g = aux_slice_g(aux_zeta)
+            inv_t_z = aux_at(aux_zeta, kk2)
+            m_z = _pick_ext(aux_zeta, 2 * kk2 + 2)
+            s_z = _recombine_u(_pick_ext(aux_zeta, 2 * kk2 + 3),
+                               _pick_ext(aux_zeta, 2 * kk2 + 4))
+            s_gz = _recombine_u(_pick_ext(aux_gzeta, 2 * kk2 + 3),
+                                _pick_ext(aux_gzeta, 2 * kk2 + 4))
+            ci = jnp.asarray(lk_p, dtype=jnp.int32)
+            w_all = ((trace_zeta[0][0][ci], trace_zeta[0][1][ci]),
+                     (trace_zeta[1][0][ci], trace_zeta[1][1][ci]))
+
+            def wslice(sl):
+                return ((w_all[0][0][sl], w_all[0][1][sl]),
+                        (w_all[1][0][sl], w_all[1][1][sl]))
+
+            w0_g = wslice(slice(0, None, 2))
+            w1_g = wslice(slice(1, None, 2))
+            ramp = _ramp_fp(n)
+            t_z = _pick_ext(pdom.barycentric_eval(
+                (ramp[0][None, :], ramp[1][None, :]), zeta, log_n), 0)
+            lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
+                gamma, w0_g, w1_g, invs_g, inv_t_z, m_z, s_z, s_gz, t_z)
+        else:
+            lk_e, lk_t, lk_f, lk_l = [], [], [], []
+
+        import numpy as _np
+
+        def _gsize(c):
+            g = c[0][0].shape
+            return int(_np.prod(g)) if g else 1
+
+        n_constraints = sum(_gsize(c)
+                            for c in ct + cf + cl + lk_t + lk_f + lk_l + lk_e)
+        alphas_arr = _alpha_power_array(alpha, n_constraints)
+
+        def comb(cs, k0, acc):
+            k = k0
+            for c in cs:
+                m = _gsize(c)
+                cc = ((c[0][0].reshape(m), c[0][1].reshape(m)),
+                      (c[1][0].reshape(m), c[1][1].reshape(m)))
+                term = ext.mul(_slice_ext(alphas_arr, k, k + m), cc)
+                acc = ext.add(acc, _ext_sum0(term))
+                k += m
+            return acc, k
+
+        k = 0
+        ct_c, k = comb(ct, k, ext.zeros(()))
+        ct_c, k = comb(lk_t, k, ct_c)
+        cf_c, k = comb(cf, k, ext.zeros(()))
+        cf_c, k = comb(lk_f, k, cf_c)
+        cl_c, k = comb(cl, k, ext.zeros(()))
+        cl_c, k = comb(lk_l, k, cl_c)
+        ce_c, k = comb(lk_e, k, ext.zeros(()))
+
+        zeta_n = ext.pow_const(zeta, n)
+        one = ext.ones(())
+        zh = ext.sub(zeta_n, one)                     # ζ^N - 1
+        zeta_m_glast = ext.sub(zeta, ext.from_base(gl.full((), g_last)))
+        zeta_m_1 = ext.sub(zeta, one)
+
+        inv_zh = ext.inv(zh)
+        expected_q = ext.add(
+            ext.add(
+                ext.mul(ext.mul(ct_c, zeta_m_glast), inv_zh),
+                ext.mul(cf_c, ext.inv(zeta_m_1))),
+            ext.add(ext.mul(cl_c, ext.inv(zeta_m_glast)),
+                    ext.mul(ce_c, inv_zh)))
+
+        opened_q = ext.zeros(())
+        for i in range(n_chunks):
+            zpow = ext.pow_const(zeta_n, i) if i > 0 else one
+            opened_q = ext.add(opened_q,
+                               ext.mul(zpow, _pick_ext(quotient_zeta, i)))
+        return jnp.all(ext.eq(expected_q, opened_q))
+
+    return fn
+
+
+def _ali_phase(air: Air, log_n: int, proof: StarkProof, publics, alpha,
+               zeta, gamma, cfp) -> jax.Array:
+    from .prover import phase_jit_enabled
+    has_lk = len(air.lookup_range_columns()) > 0
+    cache = air.__dict__.setdefault("_vx_vjit", {})
+    key = (log_n, len(publics), phase_jit_enabled())
+    if key not in cache:
+        fn = _ali_phase_fn(air, log_n, has_lk)
+        cache[key] = jax.jit(fn) if phase_jit_enabled() else fn
+    if has_lk:
+        return cache[key](proof.trace_zeta, proof.trace_gzeta,
+                          proof.quotient_zeta, proof.aux_zeta,
+                          proof.aux_gzeta, publics, alpha, zeta, gamma, cfp)
+    unit = ext.zeros(())
+    dummy = ((jnp.zeros((0,), jnp.uint32),) * 2,) * 2
+    return cache[key](proof.trace_zeta, proof.trace_gzeta,
+                      proof.quotient_zeta, dummy, dummy,
+                      publics, alpha, zeta, unit, cfp)
+
+
 def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
            config: StarkConfig, challenger: Challenger | None = None) -> jax.Array:
     if challenger is None:
@@ -80,133 +220,12 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     beta = challenger.squeeze_ext(1)
     beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
 
-    # -- 1: ALI consistency at ζ ------------------------------------------
-    alg = ExtAlgebra()
-    local = [_pick_ext(proof.trace_zeta, c) for c in range(num_cols)]
-    nxt = [_pick_ext(proof.trace_gzeta, c) for c in range(num_cols)]
+    # -- 1: ALI consistency at ζ (ONE jitted program per air/shape — the
+    # eager scalar version costs thousands of tiny dispatches) -------------
     import numpy as np
-    from ..field import ext as _ext
     cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
-    if cvals.shape[0]:
-        from ..poly import domain as _pdom
-        cfp = gl.to_fp(cvals)
-        g_zeta_pt = _ext.mul_base(zeta, gl.full((), g_dom))
-        cz = _pdom.barycentric_eval(cfp, zeta, log_n)
-        cgz = _pdom.barycentric_eval(cfp, g_zeta_pt, log_n)
-        consts = [_pick_ext(cz, i) for i in range(cvals.shape[0])]
-        consts_next = [_pick_ext(cgz, i) for i in range(cvals.shape[0])]
-    else:
-        consts, consts_next = [], []
-    ct = air.transition(alg, local, nxt, publics, consts, consts_next)
-    cf = air.first_row(alg, local, publics, consts)
-    cl = air.last_row(alg, local, publics, consts)
-
-    # lookup constraints at ζ (aux base-column pairs recombined as re + u*im)
-    if has_lk:
-        from .prover import _padded_lk
-        lk_p = _padded_lk(lk_cols)
-        kk2 = len(lk_p) // 2
-
-        def aux_at(op, i):
-            return _recombine_u(_pick_ext(op, 2 * i),
-                                _pick_ext(op, 2 * i + 1))
-
-        def aux_slice_g(op):
-            """Grouped (kk2,) recombined pair-inverse values."""
-            re_g = ((op[0][0][0:2 * kk2:2], op[0][1][0:2 * kk2:2]),
-                    (op[1][0][0:2 * kk2:2], op[1][1][0:2 * kk2:2]))
-            im_g = ((op[0][0][1:2 * kk2:2], op[0][1][1:2 * kk2:2]),
-                    (op[1][0][1:2 * kk2:2], op[1][1][1:2 * kk2:2]))
-            return _recombine_u(re_g, im_g)
-
-        invs_g = aux_slice_g(proof.aux_zeta)
-        inv_t_z = aux_at(proof.aux_zeta, kk2)
-        m_z = _pick_ext(proof.aux_zeta, 2 * kk2 + 2)
-        # S occupies base columns 2kk2+3, 2kk2+4
-        s_z = _recombine_u(_pick_ext(proof.aux_zeta, 2 * kk2 + 3),
-                           _pick_ext(proof.aux_zeta, 2 * kk2 + 4))
-        s_gz = _recombine_u(_pick_ext(proof.aux_gzeta, 2 * kk2 + 3),
-                            _pick_ext(proof.aux_gzeta, 2 * kk2 + 4))
-        ci = jnp.asarray(lk_p, dtype=jnp.int32)
-        tz = proof.trace_zeta
-        w_all = ((tz[0][0][ci], tz[0][1][ci]), (tz[1][0][ci], tz[1][1][ci]))
-
-        def wslice(sl):
-            return ((w_all[0][0][sl], w_all[0][1][sl]),
-                    (w_all[1][0][sl], w_all[1][1][sl]))
-
-        w0_g = wslice(slice(0, None, 2))
-        w1_g = wslice(slice(1, None, 2))
-        ramp = _ramp_fp(n)
-        t_z = _pick_ext(pdom.barycentric_eval(
-            (ramp[0][None, :], ramp[1][None, :]), zeta, log_n), 0)
-        lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
-            gamma, w0_g, w1_g, invs_g, inv_t_z, m_z, s_z, s_gz, t_z)
-    else:
-        lk_e, lk_t, lk_f, lk_l = [], [], [], []
-
-    import numpy as _np
-
-    def _gsize(c):
-        g = c[0][0].shape
-        return int(_np.prod(g)) if g else 1
-
-    n_constraints = sum(_gsize(c)
-                        for c in ct + cf + cl + lk_t + lk_f + lk_l + lk_e)
-    alphas_arr = _alpha_power_array(alpha, n_constraints)
-
-    def comb(cs, k0):
-        acc = ext.zeros(())
-        k = k0
-        for c in cs:
-            m = _gsize(c)
-            cc = ((c[0][0].reshape(m), c[0][1].reshape(m)),
-                  (c[1][0].reshape(m), c[1][1].reshape(m)))
-            term = ext.mul(_slice_ext(alphas_arr, k, k + m), cc)
-            acc = ext.add(acc, _ext_sum0(term))
-            k += m
-        return acc, k
-
-    def comb_ext(cs, k0, acc):
-        k = k0
-        for c in cs:
-            m = _gsize(c)
-            cc = ((c[0][0].reshape(m), c[0][1].reshape(m)),
-                  (c[1][0].reshape(m), c[1][1].reshape(m)))
-            term = ext.mul(_slice_ext(alphas_arr, k, k + m), cc)
-            acc = ext.add(acc, _ext_sum0(term))
-            k += m
-        return acc, k
-
-    k = 0
-    ct_c, k = comb(ct, k)
-    ct_c, k = comb_ext(lk_t, k, ct_c)
-    cf_c, k = comb(cf, k)
-    cf_c, k = comb_ext(lk_f, k, cf_c)
-    cl_c, k = comb(cl, k)
-    cl_c, k = comb_ext(lk_l, k, cl_c)
-    ce_c, k = comb_ext(lk_e, k, ext.zeros(()))
-
-    zeta_n = ext.pow_const(zeta, n)
-    one = ext.ones(())
-    zh = ext.sub(zeta_n, one)                         # ζ^N - 1
-    zeta_m_glast = ext.sub(zeta, ext.from_base(gl.full((), g_last)))
-    zeta_m_1 = ext.sub(zeta, one)
-
-    inv_zh = ext.inv(zh)
-    expected_q = ext.add(
-        ext.add(
-            ext.mul(ext.mul(ct_c, zeta_m_glast), inv_zh),
-            ext.mul(cf_c, ext.inv(zeta_m_1))),
-        ext.add(ext.mul(cl_c, ext.inv(zeta_m_glast)),
-                ext.mul(ce_c, inv_zh)))
-
-    opened_q = ext.zeros(())
-    for i in range(n_chunks):
-        zpow = ext.pow_const(zeta_n, i) if i > 0 else one
-        opened_q = ext.add(opened_q, ext.mul(zpow, _pick_ext(proof.quotient_zeta, i)))
-
-    ok = jnp.all(ext.eq(expected_q, opened_q))
+    cfp = gl.to_fp(cvals) if cvals.shape[0] else None
+    ok = _ali_phase(air, log_n, proof, publics, alpha, zeta, gamma, cfp)
     import os as _os
     if _os.environ.get("VX_VERIFY_DEBUG"):
         print("ALI:", bool(ok))
