@@ -22,6 +22,18 @@ from ..field import ext
 from ..hashes import poseidon as ps
 
 
+@jax.jit
+def _absorb_chunks(state: gl.Fp, chunks: gl.Fp) -> gl.Fp:
+    """Absorb (n, RATE) element chunks: overwrite-mode duplex under a scan
+    — one compiled program regardless of n."""
+    def body(st, ch):
+        s_lo = jnp.concatenate([ch[0], st[0][ps.RATE:]])
+        s_hi = jnp.concatenate([ch[1], st[1][ps.RATE:]])
+        return ps.permute((s_lo, s_hi)), None
+    st, _ = jax.lax.scan(body, state, chunks)
+    return st
+
+
 @dataclass
 class Challenger:
     state: gl.Fp  # (12,)
@@ -35,12 +47,30 @@ class Challenger:
     # -- observe ----------------------------------------------------------
 
     def observe(self, elems: gl.Fp) -> None:
-        """Observe a flat (k,) vector of field elements."""
-        k = elems[0].shape[0]
-        for i in range(k):
-            self.pending.append((elems[0][i], elems[1][i]))
-            if len(self.pending) == ps.RATE:
-                self._absorb()
+        """Observe a flat (k,) vector of field elements.
+
+        Full RATE-sized chunks absorb under ONE scanned permutation program
+        (the openings of a wide AIR are thousands of elements — per-chunk
+        eager dispatch would dominate a warm prove on the device tunnel);
+        the remainder stays pending, exactly as the element-wise loop did."""
+        k = int(elems[0].shape[0])
+        n_pend = len(self.pending)
+        if n_pend:
+            lo = jnp.concatenate([jnp.stack([p[0] for p in self.pending]),
+                                  elems[0]])
+            hi = jnp.concatenate([jnp.stack([p[1] for p in self.pending]),
+                                  elems[1]])
+        else:
+            lo, hi = elems[0], elems[1]
+        total = n_pend + k
+        nfull = total // ps.RATE
+        if nfull:
+            chunks = (lo[:nfull * ps.RATE].reshape(nfull, ps.RATE),
+                      hi[:nfull * ps.RATE].reshape(nfull, ps.RATE))
+            self.state = _absorb_chunks(self.state, chunks)
+        rem = total - nfull * ps.RATE
+        self.pending = [(lo[nfull * ps.RATE + i], hi[nfull * ps.RATE + i])
+                        for i in range(rem)]
 
     def observe_digests(self, digests: gl.Fp) -> None:
         """Observe (n, 4) digests (e.g. a Merkle cap)."""
