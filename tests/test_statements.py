@@ -16,7 +16,10 @@ from test_subchain import make_chain
 
 RNG = np.random.default_rng(31)
 
-CFG = StarkConfig(rate_bits=2, num_queries=6, final_poly_len=4)
+# minimal config: the default suite must stay runnable on the 2-core
+# CPU mesh host; soundness-parameter coverage lives in the fast
+# prover tests (test_stark/test_fri run rate 2+)
+CFG = StarkConfig(rate_bits=1, num_queries=4, final_poly_len=4)
 
 TRUSTED_BLOCK = 128
 N_HEADERS = 2

@@ -14,7 +14,10 @@ from vectorx_tpu.stark.prover import StarkConfig
 
 RNG = np.random.default_rng(41)
 
-CFG = StarkConfig(rate_bits=2, num_queries=6, final_poly_len=4)
+# minimal config: the default suite must stay runnable on the 2-core
+# CPU mesh host; soundness-parameter coverage lives in the fast
+# prover tests (test_stark/test_fri run rate 2+)
+CFG = StarkConfig(rate_bits=1, num_queries=4, final_poly_len=4)
 
 EPOCH_END_BLOCK = 180
 N_CUR = 2          # current authorities (both sign: 2*3 > 2*2)
@@ -85,6 +88,15 @@ def test_rotate_rejects_tampered_window(setup):
         st.verify_rotate(bad, SET_ID,
                          commitments.authority_set_hash(setup["cur_pubs"]),
                          CFG)
+
+
+def test_rotate_serialization_round_trip(setup):
+    blob = st.serialize_rotate(setup["bundle"], CFG)
+    back, cfg = st.deserialize_rotate(blob)
+    assert cfg == CFG
+    new_hash = st.verify_rotate(
+        back, SET_ID, commitments.authority_set_hash(setup["cur_pubs"]), CFG)
+    assert new_hash == commitments.authority_set_hash(setup["new_pubs"])
 
 
 def test_rotate_rejects_wrong_epoch_block(setup):

@@ -595,63 +595,30 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     beta = challenger.squeeze_ext(1)
     beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
 
-    # -- DEEP composition codeword ----------------------------------------
-    x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
-    xe = ext.from_base(x)
-    inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, n_lde)))
-    inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))
-
-    # batched over all columns at once (one tensor pass per opening group)
-    n_terms = 2 * num_cols + 2 * n_aux + n_chunks
-    betas_arr = _alpha_power_array(beta, n_terms)
-
-    tlde_fp2 = ext.from_base(trace_lde)                      # (C, N_lde)
-    diff_z = ext.sub(tlde_fp2, _ext_col(trace_zeta))
-    F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
-                       _slice_ext(betas_arr, 0, num_cols))
-    diff_gz = ext.sub(tlde_fp2, _ext_col(trace_gzeta))
-    F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
-                                  _slice_ext(betas_arr, num_cols, 2 * num_cols)))
-    kbase = 2 * num_cols
-    if has_lk:
-        alde_fp2 = ext.from_base(aux_lde)                    # (A, N_lde)
-        diff_az = ext.sub(alde_fp2, _ext_col(aux_zeta))
-        F = ext.add(F, _weighted_sum0(
-            ext.mul(diff_az, _ext_row(inv_xz)),
-            _slice_ext(betas_arr, kbase, kbase + n_aux)))
-        diff_agz = ext.sub(alde_fp2, _ext_col(aux_gzeta))
-        F = ext.add(F, _weighted_sum0(
-            ext.mul(diff_agz, _ext_row(inv_xgz)),
-            _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
-        kbase += 2 * n_aux
+    # -- DEEP composition codeword (one fused program) ---------------------
     ch_stack = ((jnp.stack([c[0][0] for c in chunk_evals_lde]),
                  jnp.stack([c[0][1] for c in chunk_evals_lde])),
                 (jnp.stack([c[1][0] for c in chunk_evals_lde]),
                  jnp.stack([c[1][1] for c in chunk_evals_lde])))
-    diff_q = ext.sub(ch_stack, _ext_col(quotient_zeta))
-    F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
-                                  _slice_ext(betas_arr, kbase, n_terms)))
+    deep_fn = (_deep_phase_jit if phase_jit_enabled() else _deep_phase_raw)
+    F = deep_fn(log_n, rate, trace_lde, aux_lde, ch_stack,
+                trace_zeta, trace_gzeta, aux_zeta, aux_gzeta,
+                quotient_zeta, zeta, g_zeta, beta)
 
     # -- 6: FRI ------------------------------------------------------------
     fri_proof, indices = fri.prove(F, challenger, config.fri_config)
 
-    # -- 7: trace/quotient openings at query indices ----------------------
+    # -- 7: trace/quotient openings at query indices (one fused program) --
     half = n_lde // 2
     idx_a = indices
     idx_b = indices + half
-
-    def open_rows(tree, rows, idx):
-        leaf = (rows[0][idx], rows[1][idx])
-        paths = jax.vmap(lambda i: merkle.prove(tree, i))(idx)
-        return leaf, paths
-
-    tra, tpa = open_rows(trace_tree, trace_rows, idx_a)
-    trb, tpb = open_rows(trace_tree, trace_rows, idx_b)
-    qra, qpa = open_rows(quot_tree, quot_rows, idx_a)
-    qrb, qpb = open_rows(quot_tree, quot_rows, idx_b)
+    open_fn = (_open_queries_jit if phase_jit_enabled()
+               else _open_queries_raw)
+    ((tra, tpa), (trb, tpb), (qra, qpa), (qrb, qpb), aux_opens) = open_fn(
+        trace_tree, trace_rows, quot_tree, quot_rows,
+        aux_tree, aux_rows, idx_a, idx_b)
     if has_lk:
-        ara, apa = open_rows(aux_tree, aux_rows, idx_a)
-        arb, apb = open_rows(aux_tree, aux_rows, idx_b)
+        (ara, apa), (arb, apb) = aux_opens
     else:
         ara = arb = apa = apb = None
 
@@ -668,6 +635,78 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         aux_rows_a=ara, aux_rows_b=arb,
         aux_paths_a=apa, aux_paths_b=apb,
     )
+
+
+def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, ch_stack,
+                    trace_zeta, trace_gzeta, aux_zeta, aux_gzeta,
+                    quotient_zeta, zeta, g_zeta, beta):
+    """DEEP composition: β-batched deviation quotients of every opening
+    group into one GF(p^2) codeword. Shapes (and aux presence) are static,
+    so the jitted variant compiles once per prover configuration."""
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    n_lde = 1 << (log_n + rate)
+    num_cols = trace_lde[0].shape[0]
+    n_aux = aux_lde[0].shape[0] if aux_lde is not None else 0
+    n_chunks = ch_stack[0][0].shape[0]
+    has_lk = aux_lde is not None
+
+    x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
+    xe = ext.from_base(x)
+    inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, n_lde)))
+    inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))
+
+    n_terms = 2 * num_cols + 2 * n_aux + n_chunks
+    betas_arr = _alpha_power_array(beta, n_terms)
+
+    tlde_fp2 = ext.from_base(trace_lde)                      # (C, N_lde)
+    diff_z = ext.sub(tlde_fp2, _ext_col(trace_zeta))
+    F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
+                       _slice_ext(betas_arr, 0, num_cols))
+    diff_gz = ext.sub(tlde_fp2, _ext_col(trace_gzeta))
+    F = ext.add(F, _weighted_sum0(
+        ext.mul(diff_gz, _ext_row(inv_xgz)),
+        _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+    kbase = 2 * num_cols
+    if has_lk:
+        alde_fp2 = ext.from_base(aux_lde)                    # (A, N_lde)
+        diff_az = ext.sub(alde_fp2, _ext_col(aux_zeta))
+        F = ext.add(F, _weighted_sum0(
+            ext.mul(diff_az, _ext_row(inv_xz)),
+            _slice_ext(betas_arr, kbase, kbase + n_aux)))
+        diff_agz = ext.sub(alde_fp2, _ext_col(aux_gzeta))
+        F = ext.add(F, _weighted_sum0(
+            ext.mul(diff_agz, _ext_row(inv_xgz)),
+            _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
+        kbase += 2 * n_aux
+    diff_q = ext.sub(ch_stack, _ext_col(quotient_zeta))
+    F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
+                                  _slice_ext(betas_arr, kbase, n_terms)))
+    return F
+
+
+_deep_phase_jit = jax.jit(_deep_phase_raw, static_argnames=("log_n", "rate"))
+
+
+def _open_queries_raw(trace_tree, trace_rows, quot_tree, quot_rows,
+                      aux_tree, aux_rows, idx_a, idx_b):
+    """Open every committed tree at both query-index halves."""
+    def open_rows(tree, rows, idx):
+        leaf = (rows[0][idx], rows[1][idx])
+        paths = jax.vmap(lambda i: merkle.prove(tree, i))(idx)
+        return leaf, paths
+
+    out = (open_rows(trace_tree, trace_rows, idx_a),
+           open_rows(trace_tree, trace_rows, idx_b),
+           open_rows(quot_tree, quot_rows, idx_a),
+           open_rows(quot_tree, quot_rows, idx_b))
+    aux = None
+    if aux_tree is not None:
+        aux = (open_rows(aux_tree, aux_rows, idx_a),
+               open_rows(aux_tree, aux_rows, idx_b))
+    return out + (aux,)
+
+
+_open_queries_jit = jax.jit(_open_queries_raw)
 
 
 def _broadcast_ext(s: ext.Fp2, n) -> ext.Fp2:
