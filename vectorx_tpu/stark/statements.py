@@ -36,7 +36,7 @@ import jax
 import numpy as np
 
 from ..circuits import scale
-from ..circuits.commitments import authority_set_hash, simple_merkle_root
+from ..circuits.commitments import authority_set_hash
 from ..circuits.consts import ENCODED_PRECOMMIT_LENGTH
 from ..circuits.ed25519 import L_ORDER
 from ..field import goldilocks as gl
