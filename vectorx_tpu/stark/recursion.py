@@ -19,14 +19,18 @@ This module makes that arithmetic provable:
   slots and air_ed25519's ladder selectors. Register allocation is
   linear-scan over the tape's live ranges.
 
-Transcript replay (Poseidon) and Merkle-path rows are the next phases;
-until they land, the outer verifier replays the inner Fiat-Shamir
+Phase 2 (record_verify_arith / prove_verify_in_stark): the ENTIRE
+arithmetic content of verification — ALI at ζ, DEEP composition at every
+query position, FRI fold consistency and the final-poly Horner check —
+records on ONE tape whose μ-combined zero-cells pin to a single [0, 0]
+output. Transcript replay (Poseidon) and Merkle-path rows are the next
+phase; until they land, the outer verifier replays the inner Fiat-Shamir
 transcript host-side from claim data (caps/openings ride in constant
-columns), so challenges enter the tape as literals.
+columns), so challenges and openings enter the tape as literals.
 
-Limitations (phase 1): inner AIRs using GROUPED tensor constraints
-(self._stack) record one tape op per group element only through the
-scalar ExtAlgebra path; grouped recording lands with phase 2.
+Limitations: inner AIRs using GROUPED tensor constraints (self._stack)
+record one tape op per group element only through the scalar ExtAlgebra
+path; lookup (LogUp) inner AIRs are not yet recordable.
 """
 
 from __future__ import annotations
@@ -161,7 +165,8 @@ def _to_int_ext(v: ext.Fp2) -> Tuple[int, int]:
 
 
 def record_ali(air: Air, proof, publics: List[gl.Fp], log_n: int,
-               config, alpha: ext.Fp2, zeta: ext.Fp2) -> Tuple[Tape, int]:
+               config, alpha: ext.Fp2, zeta: ext.Fp2,
+               alg: Optional[TapeAlgebra] = None) -> Tuple[Tape, int]:
     """Record the full ALI consistency check (verifier.py step 1) for a
     non-grouped, lookup-free inner AIR as one tape. Returns (tape,
     result_cell) where the result cell must equal 0 iff the check holds
@@ -169,16 +174,17 @@ def record_ali(air: Air, proof, publics: List[gl.Fp], log_n: int,
 
     The inner openings/challenges enter as tape literals: they are claim
     data the outer verifier knows (and, in later phases, data bound by
-    in-AIR Merkle/transcript rows)."""
+    in-AIR Merkle/transcript rows). Pass ``alg`` to continue recording on
+    an existing tape (record_verify_arith shares one tape for all checks)."""
     from ..poly import domain as pdom
     from .prover import num_quotient_chunks, _pick_ext
 
-    assert not air.lookup_range_columns(), "lookup AIRs: phase 2"
+    assert not air.lookup_range_columns(), "lookup AIRs: later phase"
     n = 1 << log_n
     g_dom = gl.primitive_root_of_unity(log_n)
     g_last = pow(g_dom, n - 1, P)
 
-    alg = TapeAlgebra()
+    alg = alg or TapeAlgebra()
     tape = alg.tape
     C = air.num_cols
     local = [alg._wrap(tape.load(*_to_int_ext(_pick_ext(proof.trace_zeta, c))))
@@ -479,6 +485,245 @@ def inner_challenges(air: Air, proof, publics: List[gl.Fp]):
     zeta = challenger.squeeze_ext(1)
     zeta = ((zeta[0][0][0], zeta[0][1][0]), (zeta[1][0][0], zeta[1][1][0]))
     return alpha, zeta
+
+
+def inner_transcript(air: Air, proof, publics: List[gl.Fp], log_n: int,
+                     config):
+    """Replay the FULL inner Fiat-Shamir transcript host-side.
+
+    -> (alpha, zeta, beta, fold_betas, indices, mu): every challenge the
+    inner verifier derives, plus one extra squeeze ``mu`` used to fold all
+    of the recursion tape's zero-cells into a single output (sound: mu is
+    Fiat-Shamir over the complete inner claim, so the inner prover cannot
+    steer a nonzero check vector into the kernel of the mu-combination).
+    Indices are returned as Python ints (they address claim data when the
+    tape is built). Phase-2 seam: once transcript rows land in-AIR these
+    values become trace cells instead of literals."""
+    import jax.numpy as jnp
+    from .challenger import Challenger
+
+    assert not air.lookup_range_columns(), "lookup AIRs: later phase"
+    ch = Challenger.new()
+    ch.observe((jnp.stack([p[0] for p in publics]),
+                jnp.stack([p[1] for p in publics])))
+    ch.observe_digests(proof.trace_cap)
+
+    def sq():
+        v = ch.squeeze_ext(1)
+        return ((v[0][0][0], v[0][1][0]), (v[1][0][0], v[1][1][0]))
+
+    def obs_ext(v):
+        ch.observe((jnp.concatenate([jnp.atleast_1d(v[0][0]),
+                                     jnp.atleast_1d(v[1][0])]),
+                    jnp.concatenate([jnp.atleast_1d(v[0][1]),
+                                     jnp.atleast_1d(v[1][1])])))
+
+    alpha = sq()
+    ch.observe_digests(proof.quotient_cap)
+    zeta = sq()
+    obs_ext(proof.trace_zeta)
+    obs_ext(proof.trace_gzeta)
+    obs_ext(proof.quotient_zeta)
+    beta = sq()
+
+    log_n_lde = log_n + config.rate_bits
+    fri_cfg = config.fri_config
+    num_layers = fri_cfg.num_layers(log_n_lde)
+    fold_betas = []
+    for layer in range(num_layers):
+        ch.observe_digests(proof.fri_proof.caps[layer])
+        fold_betas.append(sq())
+    fc = proof.fri_proof.final_coeffs
+    ch.observe((jnp.concatenate([fc[0][0], fc[1][0]]),
+                jnp.concatenate([fc[0][1], fc[1][1]])))
+    indices = [int(i) for i in
+               np.asarray(ch.squeeze_indices(fri_cfg.num_queries,
+                                             log_n_lde - 1))]
+    mu = sq()
+    return alpha, zeta, beta, fold_betas, indices, mu
+
+
+def _int_at(fp, *ix) -> int:
+    """Base-field (lo, hi) uint32 arrays -> Python int at index."""
+    return (int(np.asarray(fp[0][ix])) |
+            (int(np.asarray(fp[1][ix])) << 32)) % P
+
+
+def record_verify_arith(air: Air, proof, publics: List[gl.Fp], log_n: int,
+                        config) -> Tuple[Tape, int]:
+    """Record EVERY arithmetic check of the DEEP-ALI verifier on one tape:
+
+      1. ALI consistency at ζ (record_ali),
+      3. DEEP composition recomputed from the opened rows at each query
+         position, checked against the FRI layer-0 leaves,
+      4. FRI fold consistency per query per layer + final-poly Horner.
+
+    (numbering = verifier.py's; check 2, Merkle membership, is the hash
+    region and lands with the Poseidon-row phase — see RECURSION.md.)
+
+    Returns (tape, acc_cell): acc = Σ μ^k · zero_cell_k must equal 0.
+    Claim data (openings, FRI leaves, challenges, index-derived domain
+    points) enter as literals — the tape's wiring is public, re-derivable
+    by the outer verifier from the inner claim. Divisions by tape-computed
+    values are witnessed inverses with recorded product==1 checks."""
+    from .prover import num_quotient_chunks, _pick_ext
+
+    alpha, zeta, beta, fold_betas, indices, mu = inner_transcript(
+        air, proof, publics, log_n, config)
+
+    alg = TapeAlgebra()
+    tape = alg.tape
+    _, ali_cell = record_ali(air, proof, publics, log_n, config,
+                             alpha, zeta, alg=alg)
+
+    one = alg.one()
+    mu_c = alg._wrap(tape.load(*_to_int_ext(mu)))
+    acc = [alg._wrap(ali_cell)]          # ALI zero-cell carries weight μ^0
+    mu_pow = [mu_c]
+
+    def pin_zero(cell: TapeCell):
+        acc[0] = alg.add(acc[0], alg.mul(mu_pow[0], cell))
+        mu_pow[0] = alg.mul(mu_pow[0], mu_c)
+
+    # -- shared cells -------------------------------------------------------
+    n = 1 << log_n
+    rate = config.rate_bits
+    log_n_lde = log_n + rate
+    n_lde = n << rate
+    half0 = n_lde // 2
+    g_dom = gl.primitive_root_of_unity(log_n)
+    shift0 = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    w_lde = gl.primitive_root_of_unity(log_n_lde)
+    num_cols = air.num_cols
+    n_chunks = num_quotient_chunks(air)
+    fri_cfg = config.fri_config
+    num_layers = fri_cfg.num_layers(log_n_lde)
+    fl = fri_cfg.final_poly_len
+
+    zeta_c = alg._wrap(tape.load(*_to_int_ext(zeta)))
+    gzeta_c = alg.mul(zeta_c, alg.constant(g_dom))
+    beta_c = alg._wrap(tape.load(*_to_int_ext(beta)))
+
+    # claim data as host ints (re-loaded as fresh literals per use — keeps
+    # register liveness O(1) so the outer trace width is independent of the
+    # inner AIR's column count)
+    tz_int = [_to_int_ext(_pick_ext(proof.trace_zeta, c))
+              for c in range(num_cols)]
+    gz_int = [_to_int_ext(_pick_ext(proof.trace_gzeta, c))
+              for c in range(num_cols)]
+    qz_int = [_to_int_ext(_pick_ext(proof.quotient_zeta, i))
+              for i in range(n_chunks)]
+
+    leaves0 = proof.fri_proof.query_leaves[0]   # (q, 4) [re_a im_a re_b im_b]
+
+    def inv_checked(cell: TapeCell) -> TapeCell:
+        inv = alg.inv_hint(cell)
+        pin_zero(alg.sub(alg.mul(cell, inv), one))
+        return inv
+
+    # -- 3: DEEP composition at each query, both leaf halves ----------------
+    for qi, idx in enumerate(indices):
+        for side, pos, rows, quot in (
+                (0, idx, proof.trace_rows_a, proof.quot_rows_a),
+                (1, idx + half0, proof.trace_rows_b, proof.quot_rows_b)):
+            x_int = (shift0 * pow(w_lde, pos, P)) % P
+            xe = alg._wrap(tape.load(x_int))
+            inv_xz = inv_checked(alg.sub(xe, zeta_c))
+            inv_xgz = inv_checked(alg.sub(xe, gzeta_c))
+
+            F = alg.zero()
+            bpow = alg.mul(one, one)
+            for c in range(num_cols):
+                tv = alg._wrap(tape.load(_int_at(rows, qi, c)))
+                zc = alg._wrap(tape.load(*tz_int[c]))
+                term = alg.mul(alg.sub(tv, zc), inv_xz)
+                F = alg.add(F, alg.mul(bpow, term))
+                bpow = alg.mul(bpow, beta_c)
+            for c in range(num_cols):
+                tv = alg._wrap(tape.load(_int_at(rows, qi, c)))
+                gc = alg._wrap(tape.load(*gz_int[c]))
+                term = alg.mul(alg.sub(tv, gc), inv_xgz)
+                F = alg.add(F, alg.mul(bpow, term))
+                bpow = alg.mul(bpow, beta_c)
+            for i in range(n_chunks):
+                qv = alg._wrap(tape.load(_int_at(quot, qi, 2 * i),
+                                         _int_at(quot, qi, 2 * i + 1)))
+                qc = alg._wrap(tape.load(*qz_int[i]))
+                term = alg.mul(alg.sub(qv, qc), inv_xz)
+                F = alg.add(F, alg.mul(bpow, term))
+                bpow = alg.mul(bpow, beta_c)
+
+            leaf = alg._wrap(tape.load(_int_at(leaves0, qi, 2 * side),
+                                       _int_at(leaves0, qi, 2 * side + 1)))
+            pin_zero(alg.sub(F, leaf))
+
+    # -- 4: FRI fold consistency + final poly (fri.verify mirror) -----------
+    from .fri import _layer_domain, INV2
+    inv2_c = alg.constant(INV2)
+    fc = proof.fri_proof.final_coeffs
+
+    for qi, idx0 in enumerate(indices):
+        idx = idx0
+        a = alg._wrap(tape.load(_int_at(leaves0, qi, 0),
+                                _int_at(leaves0, qi, 1)))
+        b = alg._wrap(tape.load(_int_at(leaves0, qi, 2),
+                                _int_at(leaves0, qi, 3)))
+        cur = None
+        for layer in range(num_layers):
+            half = 1 << (log_n_lde - layer - 1)
+            layer_idx = idx % half
+            if layer > 0:
+                leaves = proof.fri_proof.query_leaves[layer]
+                a = alg._wrap(tape.load(_int_at(leaves, qi, 0),
+                                        _int_at(leaves, qi, 1)))
+                b = alg._wrap(tape.load(_int_at(leaves, qi, 2),
+                                        _int_at(leaves, qi, 3)))
+                expect = a if idx < half else b
+                pin_zero(alg.sub(cur, expect))
+            shift_l, root_l, _ = _layer_domain(log_n_lde, layer)
+            x_int = (shift_l * pow(root_l, layer_idx, P)) % P
+            inv2x = alg._wrap(tape.load(pow(2 * x_int % P, P - 2, P)))
+            s = alg.mul(alg.add(a, b), inv2_c)
+            d = alg.mul(alg.sub(a, b), inv2x)
+            fb = alg._wrap(tape.load(*_to_int_ext(fold_betas[layer])))
+            cur = alg.add(s, alg.mul(d, fb))
+            idx = layer_idx
+
+        shift_f, root_f, _ = _layer_domain(log_n_lde, num_layers)
+        xf = alg._wrap(tape.load((shift_f * pow(root_f, idx, P)) % P))
+        horner = alg._wrap(tape.load(_int_at(fc[0], fl - 1),
+                                     _int_at(fc[1], fl - 1)))
+        for i in range(fl - 2, -1, -1):
+            horner = alg.add(alg.mul(horner, xf),
+                             alg._wrap(tape.load(_int_at(fc[0], i),
+                                                 _int_at(fc[1], i))))
+        pin_zero(alg.sub(cur, horner))
+
+    return tape, acc[0].cell
+
+
+def prove_verify_in_stark(inner_air: Air, inner_proof, inner_publics,
+                          inner_log_n: int, inner_config, outer_config,
+                          k_regs: int = 0):
+    """Record the inner proof's FULL arithmetic verification (ALI + DEEP +
+    FRI folds/final poly) and prove its execution in the tape-ALU AIR.
+
+    The outer statement: "the verification program derived from the inner
+    claim executes to 0" — publics are [0, 0]. Merkle membership of the
+    openings (verifier.py check 2) remains outside the tape until the
+    Poseidon-row phase; the outer verifier still re-derives the tape's
+    constants from the claim, so the openings it wires in are the committed
+    ones."""
+    from . import prover as pv
+
+    tape, out_cell = record_verify_arith(inner_air, inner_proof,
+                                         inner_publics, inner_log_n,
+                                         inner_config)
+    air = TapeAluAir(tape, [out_cell], k_regs)
+    trace, publics = air.make_trace()
+    pubs_fp = [gl.to_fp(p) for p in publics]
+    proof = pv.prove(air, trace, pubs_fp, outer_config)
+    return air, proof, publics
 
 
 def prove_ali_in_stark(inner_air: Air, inner_proof, inner_publics,
