@@ -90,6 +90,32 @@ def test_fri_rejects_high_degree():
     assert not bool(ok)
 
 
+POW_CFG = fri.FriConfig(rate_bits=RATE_BITS, num_queries=10,
+                        final_poly_len=8, cap_height=0, pow_bits=4)
+
+
+def test_fri_grinding_accepts_and_binds():
+    cw = low_degree_codeword()
+    proof, _ = fri.prove(cw, Challenger.new(), POW_CFG)
+    ok, _, _ = fri.verify(proof, LOG_N, Challenger.new(), POW_CFG)
+    assert bool(ok)
+    # a tampered grinding nonce changes the query indices AND fails the
+    # zero-bits check w.h.p.
+    proof.pow_nonce = (proof.pow_nonce[0] ^ jnp.uint32(1), proof.pow_nonce[1])
+    ok, _, _ = fri.verify(proof, LOG_N, Challenger.new(), POW_CFG)
+    assert not bool(ok)
+
+
+def test_fri_grinding_changes_transcript():
+    # pow_bits=0 proof must not verify under a pow_bits>0 config: the
+    # transcript diverges, so the fold betas/indices mismatch
+    cw = low_degree_codeword()
+    proof, _ = fri.prove(cw, Challenger.new(), CFG)
+    proof.pow_nonce = (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32))
+    ok, _, _ = fri.verify(proof, LOG_N, Challenger.new(), POW_CFG)
+    assert not bool(ok)
+
+
 def test_merkle_round_trip():
     rows = gl.to_fp([[i, i + 1, i * 7 % P, 5] for i in range(16)])
     tree = merkle.build(rows, cap_height=1)

@@ -387,3 +387,110 @@ class TestFixtureSource:
         out2 = run_program("dummy_rotate", rinp.encode(), fs)
         assert out2 == commitments.authority_set_hash(
             fs.get_authorities(25))
+
+
+class TestBuildVerb:
+    """The real build verb: circuit-artifact manifest + vk digests
+    (reference build semantics: compile+serialize, succinct.json:6-9)."""
+
+    def test_manifest_written_and_deterministic(self, tmp_path):
+        from vectorx_tpu.services.entrypoint import build_program
+        d1, d2 = tmp_path / "a", tmp_path / "b"
+        m1 = build_program("header_range", tree_size=4, max_chunks=2,
+                           artifacts_dir=str(d1), max_authorities=4)
+        m2 = build_program("header_range", tree_size=4, max_chunks=2,
+                           artifacts_dir=str(d2), max_authorities=4)
+        assert set(m1["airs"]) == {"header", "range_merkle",
+                                   "authority_chain", "ed25519_shard"}
+        for name in m1["airs"]:
+            assert m1["airs"][name]["vk_sha256"] == \
+                m2["airs"][name]["vk_sha256"]
+            assert m1["airs"][name]["rows"] > 0
+            assert m1["airs"][name]["cols"] > 0
+        import json as _json
+        on_disk = _json.load(open(d1 / "manifest.json"))
+        assert on_disk["airs"] == m1["airs"]
+        # config round-trips
+        from vectorx_tpu.stark import serialize
+        from vectorx_tpu.stark.prover import StarkConfig
+        cfg = serialize.deserialize_config(
+            (d1 / "config.json").read_bytes(), StarkConfig)
+        assert cfg == StarkConfig()
+
+    def test_vk_digest_binds_shape(self, tmp_path):
+        from vectorx_tpu.services.entrypoint import build_program
+        m1 = build_program("header_range", tree_size=4, max_chunks=2,
+                           artifacts_dir=str(tmp_path / "a"),
+                           max_authorities=4)
+        m2 = build_program("header_range", tree_size=4, max_chunks=3,
+                           artifacts_dir=str(tmp_path / "b"),
+                           max_authorities=4)
+        assert m1["airs"]["header"]["vk_sha256"] != \
+            m2["airs"]["header"]["vk_sha256"]
+
+    def test_rotate_build(self, tmp_path):
+        from vectorx_tpu.services.entrypoint import build_program
+        m = build_program("rotate", tree_size=4, max_chunks=2,
+                          artifacts_dir=str(tmp_path), max_authorities=4)
+        assert "rotate_header" in m["airs"]
+
+
+class TestHintWiredFetch:
+    """Witness fetch goes through the hint runtime (HintRegistry /
+    WitnessBuilder) — the production path, not a parity shim."""
+
+    def test_fetch_header_range_witness(self):
+        from vectorx_tpu.stark.hints import fetch_header_range_witness
+
+        class Source:
+            def __init__(self):
+                self.calls = []
+
+            def get_header(self, b):
+                self.calls.append(("h", b))
+                return b"H%d" % b
+
+            def get_justification_record(self, b):
+                self.calls.append(("j", b))
+                return {"block": b}
+
+        src = Source()
+        headers, rec = fetch_header_range_witness(src, 10, 80)
+        assert headers == [b"H%d" % b for b in range(11, 81)]
+        assert rec == {"block": 80}
+
+    def test_batched_source_method_preferred(self):
+        from vectorx_tpu.stark.hints import fetch_header_range_witness
+
+        class Source:
+            def __init__(self):
+                self.range_calls = []
+
+            def get_headers_range(self, s, e):
+                self.range_calls.append((s, e))
+                return [b"H%d" % b for b in range(s, e + 1)]
+
+            def get_header(self, b):
+                raise AssertionError("batched path not used")
+
+            def get_justification_record(self, b):
+                return b
+
+        src = Source()
+        headers, rec = fetch_header_range_witness(src, 0, 100)
+        assert len(headers) == 100 and rec == 100
+        assert src.range_calls[0] == (1, 32)
+
+    def test_fetch_rotate_witness(self):
+        from vectorx_tpu.stark.hints import fetch_rotate_witness
+
+        class Source:
+            def get_rotate_data(self, sid):
+                return (25, b"HDR", 4, 3, [b"\x01" * 32])
+
+            def get_justification_record(self, b):
+                assert b == 25
+                return {"block": b}
+
+        rot, rec = fetch_rotate_witness(Source(), 7)
+        assert rot[0] == 25 and rec == {"block": 25}

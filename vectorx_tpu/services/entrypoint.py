@@ -148,11 +148,11 @@ def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
     self-verifies, writes the serialized bundle artifact, returns the
     96-byte contract output."""
     from ..stark import statements as st
+    from ..stark.hints import fetch_header_range_witness
 
     inp = HeaderRangeInput.decode(input_bytes)
-    headers = [source.get_header(b)
-               for b in range(inp.trusted_block + 1, inp.target_block + 1)]
-    rec = source.get_justification_record(inp.target_block)
+    headers, rec = fetch_header_range_witness(source, inp.trusted_block,
+                                              inp.target_block)
     authorities, signatures, round_ = _justification_host_inputs(rec)
     config = _stark_config()
     bundle = st.prove_header_range(
@@ -175,11 +175,11 @@ def _prove_rotate_stark(input_bytes: bytes, source,
                         proof_path: Optional[str],
                         max_chunks: Optional[int]) -> bytes:
     from ..stark import statements as st
+    from ..stark.hints import fetch_rotate_witness
 
     inp = RotateInput.decode(input_bytes)
-    block, header, _start, _n, _pks = source.get_rotate_data(
-        inp.authority_set_id)
-    rec = source.get_justification_record(block)
+    (block, header, _start, _n, _pks), rec = fetch_rotate_witness(
+        source, inp.authority_set_id)
     authorities, signatures, round_ = _justification_host_inputs(rec)
     config = _stark_config()
     bundle = st.prove_rotate(
@@ -202,12 +202,15 @@ def _prove_header_range(input_bytes: bytes, source, tree_size: int) -> bytes:
     from ..circuits import header_range as hr
     from ..parallel import subchain
 
+    from ..stark.hints import fetch_header_range_witness
+    from .grandpa import to_device_justification
+
     inp = HeaderRangeInput.decode(input_bytes)
-    headers = [source.get_header(b)
-               for b in range(inp.trusted_block + 1, inp.target_block + 1)]
+    headers, rec = fetch_header_range_witness(source, inp.trusted_block,
+                                              inp.target_block)
     buf, sizes = subchain.pack_headers(headers, tree_size, consts.MAX_HEADER_SIZE)
 
-    jd = source.get_justification_data(inp.target_block)  # JustificationData
+    jd = to_device_justification(rec, consts.MAX_AUTHORITY_SET_SIZE)
     res = hr.header_range(
         jnp.uint32(inp.trusted_block),
         jnp.asarray(np.frombuffer(inp.trusted_header_hash, np.uint8)),
@@ -256,6 +259,142 @@ def _prove_rotate(input_bytes: bytes, source) -> bytes:
     return bytes(np.asarray(res.new_authority_set_hash))
 
 
+def _program_airs(program: str, tree_size: int, max_chunks: int,
+                  max_authorities: int, ed_B: int = 8):
+    """The AIR set a program's statement bundle proves against, at its
+    configured shapes (the compile-time const-generic sizing of the
+    reference, consts.rs instantiated in bin/*.rs)."""
+    from ..stark.air_ed25519 import Ed25519VerifyAir, dummy_sig
+    from ..stark.air_header import HeaderAir
+    from ..stark.air_rotate import RotateHeaderAir
+    from ..stark.air_sha256_chain import ChainedSha256Air
+    from ..stark.air_sha256_merkle import MerkleSha256Air
+
+    def leaf_words(leaf: bytes):
+        return [int.from_bytes(leaf[i:i + 4], "big") for i in range(0, 32, 4)]
+
+    ed_air = Ed25519VerifyAir([dummy_sig()] * (1 << (ed_B - 8)), B=ed_B)
+    chain_air = ChainedSha256Air(max_authorities)
+    if program == "header_range":
+        return {
+            "header": HeaderAir(max_chunks),
+            "range_merkle": MerkleSha256Air(
+                [leaf_words(bytes(32))] * tree_size),
+            "authority_chain": chain_air,
+            "ed25519_shard": ed_air,
+        }
+    if program == "rotate":
+        return {
+            "rotate_header": RotateHeaderAir(max_chunks),
+            "authority_chain": chain_air,
+            "ed25519_shard": ed_air,
+        }
+    raise SystemExit(f"no circuit artifacts for program: {program}")
+
+
+def build_program(program: str, tree_size: int, max_chunks: int,
+                  artifacts_dir: str, config=None, warm: bool = False,
+                  max_authorities: int = consts.MAX_AUTHORITY_SET_SIZE
+                  ) -> dict:
+    """The real `build` verb — compile-and-serialize parity with the
+    reference's platform build step (succinct.json buildCommand: compile
+    the circuit + write artifacts the prove step validates against).
+
+    Writes to `artifacts_dir`:
+      manifest.json — per-AIR shapes (rows/cols/publics/constraints) and a
+        verifying-key digest: SHA-256 over the AIR's public constant
+        columns + layout, the commitment a verifier (or a future
+        recursive aggregator) pins the circuit identity to.
+      config.json   — the serialized StarkConfig.
+
+    With `warm=True` additionally runs one tiny proof per AIR shape so the
+    in-process jit caches are hot before serving proves (the answer to the
+    multi-minute cold compiles; persistent XLA caching is host-dependent
+    and stays opt-in via JAX's own flags)."""
+    import hashlib as hl
+
+    import numpy as np
+
+    from ..stark import serialize
+    from ..stark.prover import num_quotient_chunks
+
+    config = config or _stark_config()
+    airs = _program_airs(program, tree_size, max_chunks, max_authorities)
+    os.makedirs(artifacts_dir, exist_ok=True)
+
+    manifest = {"program": program, "tree_size": tree_size,
+                "max_chunks": max_chunks, "max_authorities": max_authorities,
+                "airs": {}}
+    for name, air in airs.items():
+        n_rows = air.n_rows
+        cvals = np.asarray(air.constant_columns(n_rows), dtype=np.uint64)
+        vk = hl.sha256()
+        vk.update(f"{type(air).__name__}/{air.num_cols}/{n_rows}/"
+                  f"{getattr(air, 'num_publics', 0)}".encode())
+        vk.update(cvals.tobytes())
+        vk.update(bytes(np.asarray(air.lookup_range_columns(),
+                                   dtype=np.int64).tobytes()))
+        manifest["airs"][name] = {
+            "air": type(air).__name__,
+            "rows": int(n_rows),
+            "cols": int(air.num_cols),
+            "publics": int(getattr(air, "num_publics", 0)),
+            "constraints": int(air.num_constraints()),
+            "quotient_chunks": int(num_quotient_chunks(air)),
+            "lookups": len(air.lookup_range_columns()),
+            "vk_sha256": vk.hexdigest(),
+        }
+
+    with open(os.path.join(artifacts_dir, "config.json"), "wb") as f:
+        f.write(serialize.serialize_config(config))
+    with open(os.path.join(artifacts_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+    if warm:
+        _warm_airs(airs, config)
+    return manifest
+
+
+def _warm_airs(airs: dict, config) -> None:
+    """One throwaway prove per AIR shape to populate the jit caches."""
+    from ..field import goldilocks as gl
+    from ..stark import prover as pv
+
+    for name, air in airs.items():
+        trace, publics = _probe_trace(air)
+        if trace is None:
+            continue
+        pubs = [gl.to_fp(int(p)) for p in publics]
+        pv.prove(air, trace, pubs, config)
+
+
+def _probe_trace(air):
+    """A valid witness for warming, using each AIR's own trace builder."""
+    from ..stark.air_header import HeaderAir
+    from ..stark.air_rotate import RotateHeaderAir
+    from ..stark.air_sha256_chain import ChainedSha256Air
+    from ..stark.air_sha256_merkle import MerkleSha256Air
+    from ..stark.air_ed25519 import Ed25519VerifyAir
+
+    if isinstance(air, RotateHeaderAir):
+        return None          # needs a structured epoch-end header witness
+    if isinstance(air, HeaderAir):
+        hdr = bytes(32) + b"\x04" + bytes(32) + bytes(8) + bytes(32)
+        trace, publics, _ = air.make_trace(hdr)
+        return trace, publics
+    if isinstance(air, MerkleSha256Air):
+        trace, publics, _ = air.make_trace()
+        return trace, publics
+    if isinstance(air, ChainedSha256Air):
+        words = ChainedSha256Air.pubkeys_to_words([b"\x01" * 32], air.n_max)
+        trace, publics, _ = air.make_trace(words, 1)
+        return trace, publics
+    if isinstance(air, Ed25519VerifyAir):
+        trace, _ = air.make_trace_vec()
+        return trace, air.publics_list()
+    return None
+
+
 def _genesis(source, block: Optional[int]) -> dict:
     """Deployment parameters for a trusted starting block — parity with the
     reference's bin/genesis.rs:33-49 (prints height, header hash, authority
@@ -292,6 +431,9 @@ def main(argv=None) -> int:
     p.add_argument("--proof", help="path for the serialized proof bundle")
     p.add_argument("--max-chunks", type=int,
                    help="HeaderAir Blake2b chunk capacity override")
+    p.add_argument("--artifacts", help="build-artifact directory")
+    p.add_argument("--warm", action="store_true",
+                   help="build: also run one throwaway prove per AIR shape")
     args = p.parse_args(argv)
 
     if args.program == "genesis":
@@ -305,8 +447,16 @@ def main(argv=None) -> int:
         p.error("build or prove verb required")
 
     if args.verb == "build":
-        # warm the jit/persistent-cache for the program's shapes
-        print(json.dumps({"built": args.program, "tree_size": args.tree_size}))
+        if args.program.startswith("dummy_"):
+            print(json.dumps({"built": args.program, "airs": {}}))
+            return 0
+        manifest = build_program(
+            args.program, args.tree_size,
+            args.max_chunks or consts.MAX_HEADER_CHUNK_SIZE,
+            args.artifacts or f"build/{args.program}_{args.tree_size}",
+            warm=args.warm)
+        print(json.dumps({"built": args.program,
+                          "airs": list(manifest["airs"])}))
         return 0
 
     if not args.input:

@@ -480,7 +480,8 @@ class Blake2bVarAir(Blake2bAir):
         self.n_rows = nb * N_ROWS
 
     def constant_columns(self, n_rows: int):
-        assert n_rows == self.n_rows
+        if n_rows != self.n_rows:     # shape-only probe (Air.num_constraints)
+            return np.zeros((V_NUM_CONSTS, n_rows), dtype=np.uint64)
         out = np.zeros((V_NUM_CONSTS, n_rows), dtype=np.uint64)
         for blk in range(self.num_blocks):
             r0 = blk * N_ROWS

@@ -194,7 +194,8 @@ class ChainedSha256Air(Sha256MultiBlockBase):
     # consts: [K_VAL, IS_ROUND, IS_SCHED, B_LAST, B_CONT, B_CHAIN, B_START,
     #          B_FINAL, NOT_LAST, COPY_SEL]
     def constant_columns(self, n_rows: int):
-        assert n_rows == self.n_rows
+        if n_rows != self.n_rows:     # shape-only probe (Air.num_constraints)
+            return np.zeros((10, n_rows), dtype=np.uint64)
         nb = self.num_blocks
         out = np.zeros((10, n_rows), dtype=np.uint64)
         last_real = 2 * (self.n_max - 1)          # index of last real block

@@ -87,11 +87,12 @@ class MerkleSha256Air(Sha256MultiBlockBase):
     # 6 NOT_LAST, 7 COPY_SEL, 8..8+16 MSGC (leaf-pair message words),
     # then WSEL[k], LSEL[k], RSEL[k]
     def constant_columns(self, n_rows: int):
-        assert n_rows == self.n_rows
         k = self.k
         base = 8
         n_consts = base + 16 + 3 * k
         out = np.zeros((n_consts, n_rows), dtype=np.uint64)
+        if n_rows != self.n_rows:     # shape-only probe (Air.num_constraints)
+            return out
         nb = self.num_blocks
         jobs = self.jobs
         for blk in range(nb):

@@ -50,6 +50,7 @@ class FriConfig:
     num_queries: int = 28       # ~> 80-bit query soundness at rate 8 (pre-PoW)
     final_poly_len: int = 8     # coefficients sent in the clear
     cap_height: int = 0
+    pow_bits: int = 0           # proof-of-work grinding before query sampling
 
     def num_layers(self, log_n: int) -> int:
         final_size_bits = (self.final_poly_len.bit_length() - 1) + self.rate_bits
@@ -64,6 +65,11 @@ class FriProof:
     # per layer: leaves (num_queries, 4), paths (num_queries, depth_k, 4)
     query_leaves: List[gl.Fp]
     query_paths: List[gl.Fp]
+    # grinding response (scalar Fp; zeros when pow_bits == 0) — mirrors
+    # plonky2's FriConfig proof_of_work witness: the verifier re-squeezes
+    # after absorbing the nonce and requires pow_bits low-order zero bits,
+    # adding pow_bits to query soundness (SURVEY.md §2.2 "FRI commit/query")
+    pow_nonce: gl.Fp
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +118,41 @@ def _root_pow_table(log_n0: int, layer: int) -> Tuple[np.ndarray, np.ndarray]:
         (vals.astype(np.uint64) & 0xFFFFFFFF).astype(np.uint32),
         (vals.astype(np.uint64) >> np.uint64(32)).astype(np.uint32),
     )
+
+
+GRIND_BATCH = 1024
+
+
+def _grind_nonce(challenger: Challenger, pow_bits: int) -> gl.Fp:
+    """Find a nonce whose absorption makes the next squeeze start with
+    pow_bits low-order zero bits (on the squeezed element's low word —
+    the same word squeeze_indices samples from). Batched search under a
+    lax.while_loop, so it jits and runs on-device."""
+    from ..hashes import poseidon as ps
+    challenger._flush()
+    state = challenger.state
+    mask = jnp.uint32((1 << pow_bits) - 1)
+    B = GRIND_BATCH
+
+    def cond(c):
+        _, found, _ = c
+        return ~found
+
+    def body(c):
+        k, _, _ = c
+        nonces = k * jnp.uint32(B) + jnp.arange(B, dtype=jnp.uint32)
+        s_lo = jnp.broadcast_to(state[0], (B, ps.WIDTH)).at[:, 0].set(nonces)
+        s_hi = jnp.broadcast_to(state[1], (B, ps.WIDTH)).at[:, 0].set(
+            jnp.zeros((B,), jnp.uint32))
+        out = ps.permute((s_lo, s_hi))
+        ok = (out[0][:, 0] & mask) == 0
+        any_ok = jnp.any(ok)
+        first = jnp.argmax(ok)
+        return k + 1, any_ok, jnp.where(any_ok, nonces[first], jnp.uint32(0))
+
+    _, _, nonce = jax.lax.while_loop(
+        cond, body, (jnp.uint32(0), jnp.asarray(False), jnp.uint32(0)))
+    return nonce, jnp.zeros((), jnp.uint32)
 
 
 def _pow_traced(table: Tuple[np.ndarray, np.ndarray], exp: jax.Array, nbits: int) -> gl.Fp:
@@ -192,9 +233,7 @@ def prove(codeword: ext.Fp2, challenger: Challenger, config: FriConfig):
     if not phase_jit_enabled():
         return _prove_impl(codeword, challenger, config)
     n = codeword[0][0].shape[0]
-    key = (n.bit_length() - 1, config.rate_bits, config.num_queries,
-           config.final_poly_len, config.cap_height,
-           len(challenger.pending))
+    key = (n.bit_length() - 1, config, len(challenger.pending))
     if key not in _prove_jit:
         def fn(cw, state, pending):
             ch = Challenger(state=state, pending=list(pending))
@@ -236,6 +275,16 @@ def _prove_impl(codeword: ext.Fp2, challenger: Challenger,
     challenger.observe((jnp.concatenate([final_coeffs[0][0], final_coeffs[1][0]]),
                         jnp.concatenate([final_coeffs[0][1], final_coeffs[1][1]])))
 
+    # proof-of-work grinding before query sampling (plonky2 FriConfig
+    # parity). The nonce is ALWAYS transcript-bound (tamper-evident even at
+    # pow_bits=0, where nonce 0 trivially satisfies the empty check).
+    if config.pow_bits > 0:
+        pow_nonce = _grind_nonce(challenger, config.pow_bits)
+    else:
+        pow_nonce = (jnp.zeros((), jnp.uint32), jnp.zeros((), jnp.uint32))
+    challenger.observe((pow_nonce[0][None], pow_nonce[1][None]))
+    challenger.squeeze(1)       # the checked response; advances the state
+
     # queries
     indices = challenger.squeeze_indices(config.num_queries, log_n - 1)
     query_leaves, query_paths = [], []
@@ -255,6 +304,7 @@ def _prove_impl(codeword: ext.Fp2, challenger: Challenger,
         final_coeffs=final_coeffs,
         query_leaves=query_leaves,
         query_paths=query_paths,
+        pow_nonce=pow_nonce,
     )
     # indices are returned so an outer protocol (the STARK) can open its own
     # commitments at the same query positions
@@ -285,10 +335,16 @@ def verify(proof: FriProof, log_n: int, challenger: Challenger, config: FriConfi
     challenger.observe((jnp.concatenate([fc[0][0], fc[1][0]]),
                         jnp.concatenate([fc[0][1], fc[1][1]])))
 
+    ok = jnp.asarray(True)
+    challenger.observe((jnp.atleast_1d(proof.pow_nonce[0]),
+                        jnp.atleast_1d(proof.pow_nonce[1])))
+    resp = challenger.squeeze(1)
+    if config.pow_bits > 0:
+        pmask = jnp.uint32((1 << config.pow_bits) - 1)
+        ok = ok & ((resp[0][0] & pmask) == 0)
+
     indices = challenger.squeeze_indices(config.num_queries, log_n - 1)
     q = config.num_queries
-
-    ok = jnp.asarray(True)
     idx = indices
     # current claimed value per query, set from layer-0 leaves
     cur = None

@@ -69,3 +69,87 @@ class WitnessBuilder:
         out = dict(zip(self._keys, results))
         self._pending, self._keys = [], []
         return out
+
+
+# ---------------------------------------------------------------------------
+# The production witness-fetch path (used by services/entrypoint.py)
+# ---------------------------------------------------------------------------
+
+def default_registry(source) -> HintRegistry:
+    """Standard hints over a chain-data source (FixtureSource / LiveSource /
+    any services.dummy.HeaderSource-shaped object) — the registrations the
+    reference installs per circuit (HeaderRangeFetcherHint,
+    HintSimpleJustification, RotateHint; header_range.rs:61-89,
+    rotate.rs:117-119).
+
+    Sync sources run under asyncio.to_thread behind a per-source lock
+    (fixture file reads are cheap; LiveSource serializes its WS client,
+    whose own get_headers_range already fans out <=200 concurrent
+    requests internally — input/mod.rs:531-564 parity)."""
+    import threading
+    reg = HintRegistry()
+    lock = threading.Lock()
+
+    def _call(fn, *args):
+        with lock:
+            return fn(*args)
+
+    @reg.hint("fetch_header")
+    async def fetch_header(block: int):
+        return await asyncio.to_thread(_call, source.get_header, block)
+
+    @reg.hint("fetch_headers_range")
+    async def fetch_headers_range(start: int, end: int):
+        """Inclusive [start, end]; uses a batched source method if present."""
+        batched = getattr(source, "get_headers_range", None)
+        if batched is not None:
+            return await asyncio.to_thread(_call, batched, start, end)
+        return [await fetch_header(b) for b in range(start, end + 1)]
+
+    @reg.hint("fetch_justification_record")
+    async def fetch_justification_record(block: int):
+        return await asyncio.to_thread(
+            _call, source.get_justification_record, block)
+
+    @reg.hint("fetch_rotate_data")
+    async def fetch_rotate_data(authority_set_id: int):
+        return await asyncio.to_thread(
+            _call, source.get_rotate_data, authority_set_id)
+
+    return reg
+
+
+def fetch_header_range_witness(source, trusted_block: int, target_block: int,
+                               registry: HintRegistry | None = None):
+    """-> (headers [trusted+1..=target], justification record at target).
+
+    Headers fan out in range-chunks concurrently with the justification
+    fetch — the HeaderRangeFetcherHint + HintSimpleJustification pair."""
+    reg = registry or default_registry(source)
+    wb = WitnessBuilder(reg)
+    CHUNK = 32
+    starts = list(range(trusted_block + 1, target_block + 1, CHUNK))
+    for s in starts:
+        wb.request(f"headers:{s}", "fetch_headers_range",
+                   s, min(s + CHUNK - 1, target_block))
+    wb.request("justification", "fetch_justification_record", target_block)
+    out = asyncio.run(wb.resolve())
+    headers: List = []
+    for s in starts:
+        headers.extend(out[f"headers:{s}"])
+    return headers, out["justification"]
+
+
+def fetch_rotate_witness(source, authority_set_id: int,
+                         registry: HintRegistry | None = None):
+    """-> ((epoch_end_block, header, start_pos, n_auth, pubkeys),
+    justification record at the epoch-end block) — the RotateHint
+    equivalent (reference rotate.rs:17-65)."""
+    reg = registry or default_registry(source)
+    wb = WitnessBuilder(reg)
+    wb.request("rotate", "fetch_rotate_data", authority_set_id)
+    out = asyncio.run(wb.resolve())
+    block = out["rotate"][0]
+    wb.request("justification", "fetch_justification_record", block)
+    out2 = asyncio.run(wb.resolve())
+    return out["rotate"], out2["justification"]

@@ -47,11 +47,20 @@ class StarkConfig:
     num_queries: int = 28
     final_poly_len: int = 8
     cap_height: int = 0
+    # FRI grinding bits: conjectured security ≈ rate_bits·num_queries +
+    # pow_bits (see README "Soundness" table). Test configs use 0;
+    # production configs should use PRODUCTION_POW_BITS.
+    pow_bits: int = 0
 
     @property
     def fri_config(self) -> fri.FriConfig:
         return fri.FriConfig(rate_bits=self.rate_bits, num_queries=self.num_queries,
-                             final_poly_len=self.final_poly_len, cap_height=self.cap_height)
+                             final_poly_len=self.final_poly_len, cap_height=self.cap_height,
+                             pow_bits=self.pow_bits)
+
+
+#: plonky2's standard_recursion_config grinds 16 bits; same margin here.
+PRODUCTION_POW_BITS = 16
 
 
 @jax.tree_util.register_dataclass

@@ -105,7 +105,8 @@ def empty_proof_like_shapes(air, config, log_n: int):
     q_paths = [fp(q, log_n0 - layer - 1 - config.cap_height, 4)
                for layer in range(n_layers)]
     fri_proof = fr.FriProof(caps=caps, final_coeffs=fp2(fc.final_poly_len),
-                            query_leaves=q_leaves, query_paths=q_paths)
+                            query_leaves=q_leaves, query_paths=q_paths,
+                            pow_nonce=fp())
 
     n_lk = len(air.lookup_range_columns())
     has_lk = n_lk > 0
