@@ -169,11 +169,14 @@ def num_quotient_chunks(air: Air) -> int:
 # have thousands of looked columns). Odd column counts are padded by
 # repeating the last column (its multiplicity simply counts twice).
 # Aux base columns: [inv_k.re, inv_k.im]*ceil(K/2) | inv_t.re, inv_t.im |
-# m | S.re, S.im  where S is the exclusive running sum.
+# m | S.re, S.im | t  where S is the exclusive running sum and t is the
+# table ramp itself, committed so t(ζ) is an ordinary opening (pinned by
+# t(0)=0, t'=t+1) — the verifier (and the in-AIR recursive verifier,
+# recursion_air.py) then never evaluates the ramp polynomial barycentric.
 
 
 def num_aux_cols(n_lookups: int) -> int:
-    return 2 * ((n_lookups + 1) // 2) + 5
+    return 2 * ((n_lookups + 1) // 2) + 6
 
 
 def _padded_lk(lk_cols):
@@ -195,7 +198,7 @@ def _recombine_u(re_v: ext.Fp2, im_v: ext.Fp2) -> ext.Fp2:
 
 
 def _lookup_constraint_evals(gamma, w0_g, w1_g, inv_g, inv_t, m_val,
-                             s_val, s_next, t_val):
+                             s_val, s_next, t_val, t_next):
     """Evaluate the LogUp constraints in any ext ring (vectors at prove
     time, scalars at ζ for the verifier). ``w0_g``/``w1_g``/``inv_g`` are
     GROUPED ext elements with the ceil(K/2) column PAIRS stacked on a
@@ -218,8 +221,9 @@ def _lookup_constraint_evals(gamma, w0_g, w1_g, inv_g, inv_t, m_val,
     # quotient degree 2N−3 — a last-row divisor (x − g_last) would overflow
     # the 2-chunk quotient budget at degree 3N−4)
     le = [defs_g, def_t]
-    lt = [ext.sub(ext.sub(s_next, s_val), contrib)]
-    lf = [s_val]
+    lt = [ext.sub(ext.sub(s_next, s_val), contrib),
+          ext.sub(ext.sub(t_next, t_val), one)]     # ramp step t' = t + 1
+    lf = [s_val, t_val]                             # S(0) = 0, t(0) = 0
     ll = [ext.add(s_val, contrib)]
     return le, lt, lf, ll
 
@@ -227,7 +231,7 @@ def _lookup_constraint_evals(gamma, w0_g, w1_g, inv_g, inv_t, m_val,
 def _num_lookup_constraints(n_lookups: int):
     """(transition, first, last) counts (pairs + table def + sum step)."""
     kk2 = (n_lookups + 1) // 2
-    return kk2 + 2, 1, kk2 + 2
+    return kk2 + 3, 2, kk2 + 2
 
 
 def _ext_slice0(v: ext.Fp2, sl) -> ext.Fp2:
@@ -276,7 +280,7 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
     s_re = exscan(contrib[0])
     s_im = exscan(contrib[1])
 
-    # interleave re/im base columns: inv pairs | inv_t | m | S
+    # interleave re/im base columns: inv pairs | inv_t | m | S | t
     re_lo = jnp.concatenate([inv_p[0][0], inv_t[0][0][None]])
     re_hi = jnp.concatenate([inv_p[0][1], inv_t[0][1][None]])
     im_lo = jnp.concatenate([inv_p[1][0], inv_t[1][0][None]])
@@ -284,9 +288,11 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
     inter_lo = jnp.stack([re_lo, im_lo], axis=1).reshape(-1, n)
     inter_hi = jnp.stack([re_hi, im_hi], axis=1).reshape(-1, n)
     cols_lo = jnp.concatenate(
-        [inter_lo, m_fp[0][None], s_re[0][None], s_im[0][None]])
+        [inter_lo, m_fp[0][None], s_re[0][None], s_im[0][None],
+         t_ramp[0][None]])
     cols_hi = jnp.concatenate(
-        [inter_hi, m_fp[1][None], s_re[1][None], s_im[1][None]])
+        [inter_hi, m_fp[1][None], s_re[1][None], s_im[1][None],
+         t_ramp[1][None]])
     return cols_lo, cols_hi
 
 
@@ -333,8 +339,6 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
         if has_lk:
             lk_p = _padded_lk(air.lookup_range_columns())
             kk2 = len(lk_p) // 2
-            t_lde = pntt.coset_lde((_ramp_fp(n)[0][None, :],
-                                    _ramp_fp(n)[1][None, :]), rate)
             ci = jnp.asarray(lk_p, dtype=jnp.int32)
             w_all = ext.from_base((trace_lde[0][ci], trace_lde[1][ci]))
             w0_g = _ext_slice0(w_all, slice(0, None, 2))    # (kk2, N_lde)
@@ -355,9 +359,14 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
                          jnp.roll(aux_lde[1][2 * kk2 + 3], -blowup)),
                         (jnp.roll(aux_lde[0][2 * kk2 + 4], -blowup),
                          jnp.roll(aux_lde[1][2 * kk2 + 4], -blowup)))
-            t_v = ext.from_base((t_lde[0][0], t_lde[1][0]))
+            t_v = ext.from_base((aux_lde[0][2 * kk2 + 5],
+                                 aux_lde[1][2 * kk2 + 5]))
+            t_next_v = ext.from_base(
+                (jnp.roll(aux_lde[0][2 * kk2 + 5], -blowup),
+                 jnp.roll(aux_lde[1][2 * kk2 + 5], -blowup)))
             lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
-                gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v, t_v)
+                gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v,
+                t_v, t_next_v)
         else:
             lk_e, lk_t, lk_f, lk_l = [], [], [], []
 

@@ -90,11 +90,13 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool):
 
             w0_g = wslice(slice(0, None, 2))
             w1_g = wslice(slice(1, None, 2))
-            ramp = _ramp_fp(n)
-            t_z = _pick_ext(pdom.barycentric_eval(
-                (ramp[0][None, :], ramp[1][None, :]), zeta, log_n), 0)
+            # table ramp: an ordinary aux opening (committed column),
+            # NOT a barycentric — see prover.py aux layout
+            t_z = _pick_ext(aux_zeta, 2 * kk2 + 5)
+            t_gz = _pick_ext(aux_gzeta, 2 * kk2 + 5)
             lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
-                gamma, w0_g, w1_g, invs_g, inv_t_z, m_z, s_z, s_gz, t_z)
+                gamma, w0_g, w1_g, invs_g, inv_t_z, m_z, s_z, s_gz,
+                t_z, t_gz)
         else:
             lk_e, lk_t, lk_f, lk_l = [], [], [], []
 
