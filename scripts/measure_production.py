@@ -1,0 +1,147 @@
+"""Production-size proving measurements on the real chip (VERDICT item 2).
+
+Proves the reference's bound sizes (consts.rs:9-16,52): a 280-chunk
+(35,840-byte cap) header through HeaderAir, and an Ed25519 batch shard at
+B=13 (32 sigs/trace — 300 authorities = 10 shards). Records cold (compile
+included) and warm wall-clock with barrier-honest timing, then derives the
+header_range_256 single-chip estimate. Writes PROD_SIZES.json.
+
+Run: python scripts/measure_production.py            (axon = one TPU v5e)
+"""
+
+import json
+import time
+
+import numpy as np
+
+from vectorx_tpu.circuits import scale
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.stark import prover, verifier
+from vectorx_tpu.stark import air_header as ah
+
+RNG = np.random.default_rng(99)
+OUT = {}
+
+# two equivalent-soundness production parameterizations (see README
+# soundness table): rate 8 x 28 queries, and the memory-lean rate 4 x 42
+# queries (both + 16 grinding bits ~ 100 bits conjectured)
+PROD_CFG = prover.StarkConfig(rate_bits=3, num_queries=28,
+                              final_poly_len=8,
+                              pow_bits=prover.PRODUCTION_POW_BITS)
+PROD_CFG_R2 = prover.StarkConfig(rate_bits=2, num_queries=42,
+                                 final_poly_len=8,
+                                 pow_bits=prover.PRODUCTION_POW_BITS)
+
+
+def _fp(publics):
+    return [gl.to_fp(int(p)) for p in publics]
+
+
+def _make_header(block_number: int, size: int) -> bytes:
+    parent = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+    state_root = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+    body = parent + scale.encode_compact_u32(block_number) + state_root
+    filler = bytes(RNG.integers(0, 256, size - len(body) - 32,
+                                dtype=np.uint8))
+    data_root = bytes(RNG.integers(0, 256, 32, dtype=np.uint8))
+    return body + filler + data_root
+
+
+def measure_header(chunks=280, size=35700, cfg=None, tag=None):
+    cfg = cfg or PROD_CFG
+    air = ah.HeaderAir(max_chunks=chunks)
+    log_n = air.n_rows.bit_length() - 1
+    print(f"HeaderAir chunks={chunks} rows={air.n_rows} "
+          f"cols={air.num_cols}", flush=True)
+    hdr = _make_header(1234567, size)
+    t0 = time.time()
+    trace, publics, _ = air.make_trace(hdr)
+    t_wit = time.time() - t0
+    pubs = _fp(publics)
+    t0 = time.time()
+    proof = prover.prove(air, trace, pubs, cfg)
+    np.asarray(proof.trace_cap[0])          # host fetch = barrier
+    t_cold = time.time() - t0
+    t0 = time.time()
+    proof = prover.prove(air, trace, pubs, cfg)
+    np.asarray(proof.trace_cap[0])
+    t_warm = time.time() - t0
+    t0 = time.time()
+    ok = bool(verifier.verify(air, proof, pubs, log_n, cfg))
+    t_ver = time.time() - t0
+    assert ok
+    OUT[tag or f"header_{chunks}chunk"] = dict(
+        rows=air.n_rows, cols=air.num_cols,
+        rate_bits=cfg.rate_bits, queries=cfg.num_queries,
+        witness_s=round(t_wit, 2),
+        prove_cold_s=round(t_cold, 1),
+        prove_warm_s=round(t_warm, 2),
+        verify_s=round(t_ver, 2))
+    print(tag or chunks, OUT[tag or f"header_{chunks}chunk"], flush=True)
+
+
+def measure_ed25519(B=13):
+    from tests.test_air_ed25519 import make_signature
+    from vectorx_tpu.stark.air_ed25519 import Ed25519VerifyAir
+    lanes = 1 << (B - 8)
+    sigs = [make_signature(b"precommit-%d" % i, i) for i in range(lanes)]
+    air = Ed25519VerifyAir(sigs, B=B)
+    log_n = B
+    print(f"Ed25519 B={B} lanes={lanes} cols={air.num_cols}", flush=True)
+    t0 = time.time()
+    trace, publics = air.make_trace_vec()
+    t_wit = time.time() - t0
+    pubs = _fp(publics)
+    t0 = time.time()
+    proof = prover.prove(air, trace, pubs, PROD_CFG)
+    np.asarray(proof.trace_cap[0])
+    t_cold = time.time() - t0
+    t0 = time.time()
+    proof = prover.prove(air, trace, pubs, PROD_CFG)
+    np.asarray(proof.trace_cap[0])
+    t_warm = time.time() - t0
+    t0 = time.time()
+    ok = bool(verifier.verify(air, proof, pubs, log_n, PROD_CFG))
+    t_ver = time.time() - t0
+    assert ok
+    OUT["ed25519_B13"] = dict(lanes=lanes, cols=air.num_cols,
+                              witness_s=round(t_wit, 2),
+                              prove_cold_s=round(t_cold, 1),
+                              prove_warm_s=round(t_warm, 2),
+                              verify_s=round(t_ver, 2))
+    print(OUT["ed25519_B13"], flush=True)
+
+
+if __name__ == "__main__":
+    import jax
+    OUT["backend"] = jax.default_backend()
+    # largest single-chip config: walk down until one fits. Valid chunk
+    # counts are powers of two (trace rows = 128*chunks); the reference
+    # cap (280 chunks / 35,840 B, consts.rs:9-16) needs 512 — beyond one
+    # v5e HBM at production blowup; multi-chip sharding is the path there.
+    done = None
+    for chunks, size, cfg, tag in (
+            (256, 32000, PROD_CFG_R2, "header_256chunk_r4"),
+            (64, 8000, PROD_CFG, "header_64chunk_r8"),
+            (32, 3900, PROD_CFG, "header_32chunk_r8")):
+        try:
+            measure_header(chunks=chunks, size=size, cfg=cfg, tag=tag)
+            done = tag
+            break
+        except Exception as e:
+            print(tag, "failed:", repr(e), flush=True)
+    try:
+        measure_ed25519()
+    except Exception as e:
+        print("ed25519 failed:", repr(e), flush=True)
+    h = OUT.get(done, {}) if done else {}
+    e = OUT.get("ed25519_B13", {})
+    if h and e:
+        # header_range_256: 256 header proofs + 10 Ed25519 shards (300
+        # auths) + chained-SHA/Merkle AIRs (~2 header-equivalents)
+        est = (256 + 2) * (h["prove_warm_s"] + h["witness_s"]) \
+            + 10 * (e["prove_warm_s"] + e["witness_s"])
+        OUT["header_range_256_estimate_s"] = round(est, 1)
+    with open("PROD_SIZES.json", "w") as f:
+        json.dump(OUT, f, indent=1)
+    print(json.dumps(OUT), flush=True)

@@ -113,3 +113,50 @@ class TestWatch:
             jax.block_until_ready(out)
             jax.effects_barrier()
         assert any("watch vals" in r.message for r in caplog.records)
+
+
+class TestCheckpoint:
+    """Checkpoint/resume for long bundle proves (SURVEY.md §5.4)."""
+
+    def test_roundtrip_and_keying(self, tmp_path):
+        from vectorx_tpu.stark import prover, serialize as _ser
+        from vectorx_tpu.stark.air import FibonacciAir
+        from vectorx_tpu.stark.checkpoint import Checkpoint
+
+        cfg = prover.StarkConfig(rate_bits=1, num_queries=2,
+                                 final_poly_len=4)
+        air = FibonacciAir()
+        air.n_rows = 16                       # fixed-shape marker
+        trace, publics = FibonacciAir.make_trace(16)
+        pubs = [gl.to_fp(p) for p in publics]
+        proof = prover.prove(air, trace, pubs, cfg)
+
+        cp = Checkpoint(str(tmp_path))
+        parts = (b"unit-0", b"16")
+        assert cp.load("hdr", cfg, parts, air) is None     # cold miss
+        cp.store("hdr", cfg, parts, proof, publics)
+        hit = cp.load("hdr", cfg, parts, air)
+        assert hit is not None
+        got_proof, got_pubs = hit
+        assert got_pubs == [int(p) % P for p in publics]
+        assert (_ser.serialize_proof(got_proof)
+                == _ser.serialize_proof(proof))
+
+        # different inputs or config must NOT hit
+        assert cp.load("hdr", cfg, (b"unit-1", b"16"), air) is None
+        cfg2 = prover.StarkConfig(rate_bits=2, num_queries=2,
+                                  final_poly_len=4)
+        assert cp.load("hdr", cfg2, parts, air) is None
+
+        # corrupt entry fails closed (reprove)
+        import os
+        vxp = [f for f in os.listdir(tmp_path) if f.endswith(".vxp")][0]
+        with open(tmp_path / vxp, "wb") as f:
+            f.write(b"garbage")
+        assert cp.load("hdr", cfg, parts, air) is None
+
+    def test_disabled_is_noop(self):
+        from vectorx_tpu.stark.checkpoint import Checkpoint
+        cp = Checkpoint(None)
+        assert cp.load("x", None, (), None) is None
+        cp.store("x", None, (), None, [])    # must not raise

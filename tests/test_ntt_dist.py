@@ -1,0 +1,42 @@
+"""Multi-chip NTT: four-step butterfly partition, all_to_all transpose.
+
+Bit-exact parity with the single-chip transforms on the 8-device CPU mesh
+(SURVEY.md §2.3.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from vectorx_tpu.field import goldilocks as gl
+from vectorx_tpu.parallel import ntt_dist
+from vectorx_tpu.poly import ntt as pntt
+
+RNG = np.random.default_rng(3)
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("batch",))
+
+
+def _rand(n):
+    return gl.to_fp(RNG.integers(0, gl.MODULUS, n,
+                                 dtype=np.uint64).astype(object))
+
+
+def test_ntt_sharded_matches_oracle():
+    mesh = _mesh()
+    x = _rand(1 << 9)
+    assert bool(jnp.all(gl.eq(pntt.ntt(x),
+                              ntt_dist.ntt_sharded(x, mesh))))
+    assert bool(jnp.all(gl.eq(pntt.intt(x),
+                              ntt_dist.ntt_sharded(x, mesh, inverse=True))))
+
+
+def test_coset_lde_sharded_matches():
+    mesh = _mesh()
+    evals = gl.to_fp(RNG.integers(0, gl.MODULUS, (3, 64),
+                                  dtype=np.uint64).astype(object))
+    ref = pntt.coset_lde(evals, 1)
+    got = ntt_dist.coset_lde_sharded(evals, 1, mesh)
+    assert bool(jnp.all(gl.eq(ref, got)))

@@ -81,14 +81,29 @@ from functools import partial
 MXU_THRESHOLD_LOG_N = 12   # four-step matmul NTT wins above this
 
 
+def _mxu_dispatch(log_n: int) -> bool:
+    """Use the int8 four-step matmul path? Only on accelerators — there it
+    rides the systolic array; on XLA:CPU the same einsum falls back to a
+    generic int8 GEMM that is ~100x slower than the butterfly network
+    (a 2^13+ prove on the CPU test mesh went from minutes to hours before
+    this gate). VX_NTT_MXU=1/0 overrides."""
+    if log_n < MXU_THRESHOLD_LOG_N:
+        return False
+    import os
+    env = os.environ.get("VX_NTT_MXU")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
 def ntt(x: gl.Fp, inverse: bool = False) -> gl.Fp:
     """In-order forward (or inverse) NTT over the last axis. N must be 2^k.
 
-    Dispatches to the MXU four-step path (ntt_mxu.py) for large sizes and
-    the VPU butterfly network below it.
+    Dispatches to the MXU four-step path (ntt_mxu.py) for large sizes on
+    accelerators and the VPU butterfly network otherwise.
     """
     n = x[0].shape[-1]
-    if n.bit_length() - 1 >= MXU_THRESHOLD_LOG_N:
+    if _mxu_dispatch(n.bit_length() - 1):
         from .ntt_mxu import ntt_mxu
         return ntt_mxu(x, inverse)
     return _ntt_butterfly(x, inverse)

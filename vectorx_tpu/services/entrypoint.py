@@ -102,7 +102,8 @@ def _load_input(path: str) -> bytes:
 def run_program(program: str, input_bytes: bytes, source,
                 tree_size: int = consts.HEADER_RANGE_TREE_SIZE_SMALL,
                 stark: bool = False, proof_path: Optional[str] = None,
-                max_chunks: Optional[int] = None) -> bytes:
+                max_chunks: Optional[int] = None,
+                checkpoint: Optional[str] = None) -> bytes:
     if program == "dummy_header_range":
         return dummy.dummy_header_range(input_bytes, source, tree_size)
     if program == "dummy_rotate":
@@ -110,12 +111,13 @@ def run_program(program: str, input_bytes: bytes, source,
     if program == "header_range":
         if stark:
             return _prove_header_range_stark(input_bytes, source, tree_size,
-                                             proof_path, max_chunks)
+                                             proof_path, max_chunks,
+                                             checkpoint)
         return _prove_header_range(input_bytes, source, tree_size)
     if program == "rotate":
         if stark:
             return _prove_rotate_stark(input_bytes, source, proof_path,
-                                       max_chunks)
+                                       max_chunks, checkpoint)
         return _prove_rotate(input_bytes, source)
     raise SystemExit(f"unknown program: {program}")
 
@@ -143,7 +145,8 @@ def _default_max_chunks(headers) -> int:
 
 def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
                               proof_path: Optional[str],
-                              max_chunks: Optional[int]) -> bytes:
+                              max_chunks: Optional[int],
+                              checkpoint: Optional[str] = None) -> bytes:
     """Full STARK bundle for header_range (stark/statements.py): proves,
     self-verifies, writes the serialized bundle artifact, returns the
     96-byte contract output."""
@@ -160,7 +163,8 @@ def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
         signatures, inp.authority_set_id, round_, config,
         tree_size=tree_size,
         max_chunks=max_chunks or _default_max_chunks(headers),
-        max_authorities=consts.MAX_AUTHORITY_SET_SIZE)
+        max_authorities=consts.MAX_AUTHORITY_SET_SIZE,
+        checkpoint=checkpoint)
     target_hash, state_c, data_c = st.verify_header_range(
         bundle, inp.trusted_block, inp.trusted_header_hash,
         inp.authority_set_id, inp.authority_set_hash, inp.target_block,
@@ -173,7 +177,8 @@ def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
 
 def _prove_rotate_stark(input_bytes: bytes, source,
                         proof_path: Optional[str],
-                        max_chunks: Optional[int]) -> bytes:
+                        max_chunks: Optional[int],
+                        checkpoint: Optional[str] = None) -> bytes:
     from ..stark import statements as st
     from ..stark.hints import fetch_rotate_witness
 
@@ -186,7 +191,8 @@ def _prove_rotate_stark(input_bytes: bytes, source,
         block, header, authorities, signatures, inp.authority_set_id,
         round_, config,
         max_chunks=max_chunks or _default_max_chunks([header]),
-        max_authorities=consts.MAX_AUTHORITY_SET_SIZE)
+        max_authorities=consts.MAX_AUTHORITY_SET_SIZE,
+        checkpoint=checkpoint)
     new_hash = st.verify_rotate(bundle, inp.authority_set_id,
                                 inp.authority_set_hash, config)
     if proof_path:
@@ -429,6 +435,9 @@ def main(argv=None) -> int:
     p.add_argument("--stark", action="store_true",
                    help="emit a full STARK bundle (default: witness-level)")
     p.add_argument("--proof", help="path for the serialized proof bundle")
+    p.add_argument("--checkpoint",
+                   help="checkpoint dir: persist per-unit sub-proofs so an "
+                        "interrupted bundle prove resumes (SURVEY.md 5.4)")
     p.add_argument("--max-chunks", type=int,
                    help="HeaderAir Blake2b chunk capacity override")
     p.add_argument("--artifacts", help="build-artifact directory")
@@ -464,7 +473,8 @@ def main(argv=None) -> int:
     source = FixtureSource(args.fixtures) if args.fixtures else _live_source()
     out = run_program(args.program, _load_input(args.input), source,
                       args.tree_size, stark=args.stark,
-                      proof_path=args.proof, max_chunks=args.max_chunks)
+                      proof_path=args.proof, max_chunks=args.max_chunks,
+                      checkpoint=args.checkpoint)
     result = {"output": "0x" + out.hex(), "ok": True}
     with open(args.output, "w") as f:
         json.dump(result, f)

@@ -141,6 +141,38 @@ class Air:
                 + len(self.last_row(alg, dummy, pubs, dc)))
 
 
+def check_constraints(air: Air, trace, publics) -> bool:
+    """Evaluate every constraint directly on the trace domain (no LDE, no
+    commitment) — the cheap satisfiability oracle used by machine-building
+    code and tamper tests. Transition constraints must vanish on rows
+    0..N-2, first/last on their rows. Grouped tensor constraints supported.
+    """
+    import numpy as np
+    n = trace[0].shape[1]
+    alg = BaseVecAlgebra((n,))
+    local = [(trace[0][c], trace[1][c]) for c in range(air.num_cols)]
+    nxt = [(jnp.roll(trace[0][c], -1), jnp.roll(trace[1][c], -1))
+           for c in range(air.num_cols)]
+    cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
+    if cvals.shape[0]:
+        cfp = gl.to_fp(cvals)
+        consts = [(cfp[0][i], cfp[1][i]) for i in range(cvals.shape[0])]
+        consts_next = [(jnp.roll(cfp[0][i], -1), jnp.roll(cfp[1][i], -1))
+                       for i in range(cvals.shape[0])]
+    else:
+        consts, consts_next = [], []
+    ok = True
+    for c in air.transition(alg, local, nxt, publics, consts, consts_next):
+        z = gl.is_zero((c[0][..., :n - 1], c[1][..., :n - 1]))
+        ok = ok and bool(jnp.all(z))
+    for c in air.first_row(alg, local, publics, consts):
+        ok = ok and bool(jnp.all(gl.is_zero((c[0][..., 0], c[1][..., 0]))))
+    for c in air.last_row(alg, local, publics, consts):
+        ok = ok and bool(jnp.all(gl.is_zero((c[0][..., n - 1],
+                                             c[1][..., n - 1]))))
+    return ok
+
+
 class FibonacciAir(Air):
     """Toy AIR: two columns (a, b); step (a, b) -> (b, a+b).
 

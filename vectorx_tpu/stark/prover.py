@@ -501,8 +501,14 @@ def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
 
 
 def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
-          challenger: Challenger | None = None) -> StarkProof:
-    """trace: (num_cols, N) base field; publics: list of scalar Fp."""
+          challenger: Challenger | None = None,
+          lde_fn=None) -> StarkProof:
+    """trace: (num_cols, N) base field; publics: list of scalar Fp.
+
+    ``lde_fn(trace, rate) -> trace_lde`` overrides the trace-domain blowup
+    — the multi-chip seam: parallel/ntt_dist.coset_lde_sharded runs the
+    butterfly-partitioned NTT (all_to_all at the four-step transpose)
+    across a device mesh for traces too large for one chip."""
     if challenger is None:
         challenger = Challenger.new()
     num_cols, n = trace[0].shape
@@ -516,7 +522,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
 
     # -- 1/2: trace LDE + commitment --------------------------------------
-    trace_lde = pntt.coset_lde(trace, rate)         # (num_cols, N_lde)
+    trace_lde = (lde_fn or pntt.coset_lde)(trace, rate)   # (num_cols, N_lde)
     trace_rows = (trace_lde[0].T, trace_lde[1].T)   # (N_lde, num_cols)
     trace_tree = merkle.build(trace_rows, cap_height=config.cap_height)
 

@@ -61,6 +61,13 @@ def _check(cond, msg):
         raise VerificationError(msg)
 
 
+def _sig_ckpt_bytes(shard) -> bytes:
+    """Stable byte identity of a signature shard (checkpoint keying)."""
+    return b"".join(a + r + int(s).to_bytes(32, "little")
+                    + int(h).to_bytes(64, "little")
+                    for (a, r, s, h) in shard)
+
+
 def _pubs_fp(publics):
     return [gl.to_fp(int(p)) for p in publics]
 
@@ -115,10 +122,13 @@ def prove_header_range(
     max_authorities: int,
     ed_B: int = 8,
     devices=None,
+    checkpoint: Optional[str] = None,
 ) -> HeaderRangeStarkProof:
     n = len(headers)
     assert n == target_block - trusted_block and 0 < n <= tree_size
     devices = devices or jax.devices()
+    from .checkpoint import Checkpoint
+    cp = Checkpoint(checkpoint)
 
     def put(i, trace, pubs):
         dev = devices[i % len(devices)]
@@ -129,25 +139,38 @@ def prove_header_range(
     air_h = HeaderAir(max_chunks)
     header_publics, header_proofs = [], []
     state_roots, data_roots = [], []
-    digest = None
     for i, hdr in enumerate(headers):
-        trace, publics, digest = air_h.make_trace(bytes(hdr))
-        trace_d, pubs_d = put(i, trace, _pubs_fp(publics))
-        header_proofs.append(prover.prove(air_h, trace_d, pubs_d, config))
+        parts = (bytes(hdr), str(max_chunks).encode())
+        hit = cp.load("hdr", config, parts, air_h)
+        if hit is not None:
+            proof, publics = hit
+        else:
+            trace, publics, _ = air_h.make_trace(bytes(hdr))
+            trace_d, pubs_d = put(i, trace, _pubs_fp(publics))
+            proof = prover.prove(air_h, trace_d, pubs_d, config)
+            cp.store("hdr", config, parts, proof, publics)
+        header_proofs.append(proof)
         header_publics.append(publics)
         f = header_publics_fields(publics)
         state_roots.append(f["state_root"])
         data_roots.append(f["data_root"])
-    target_hash = digest
+    target_hash = hashlib.blake2b(bytes(headers[-1]),
+                                  digest_size=32).digest()
 
     # -- range-commitment Merkle proofs -----------------------------------
     def merkle(leaves: List[bytes], slot: int):
+        parts = (b"".join(leaves), str(tree_size).encode())
         words = [_leaf_words(lf) for lf in
                  leaves + [bytes(32)] * (tree_size - len(leaves))]
         air = MerkleSha256Air(words)
+        hit = cp.load("merkle", config, parts, air)
+        if hit is not None:
+            return list(hit[1]), hit[0]
         trace, publics, _root = air.make_trace()
         trace_d, pubs_d = put(slot, trace, _pubs_fp(publics))
-        return list(publics), prover.prove(air, trace_d, pubs_d, config)
+        proof = prover.prove(air, trace_d, pubs_d, config)
+        cp.store("merkle", config, parts, proof, publics)
+        return list(publics), proof
 
     state_pub, state_prf = merkle(state_roots, n)
     data_pub, data_prf = merkle(data_roots, n + 1)
@@ -156,9 +179,16 @@ def prove_header_range(
     chain_air = ChainedSha256Air(max_authorities)
     words = ChainedSha256Air.pubkeys_to_words(list(authorities),
                                               max_authorities)
-    trace, chain_pub, _out = chain_air.make_trace(words, len(authorities))
-    trace_d, pubs_d = put(n + 2, trace, _pubs_fp(chain_pub))
-    chain_prf = prover.prove(chain_air, trace_d, pubs_d, config)
+    parts = (b"".join(authorities), str(max_authorities).encode())
+    hit = cp.load("chain", config, parts, chain_air)
+    if hit is not None:
+        chain_prf, chain_pub = hit[0], hit[1]
+    else:
+        trace, chain_pub, _out = chain_air.make_trace(words,
+                                                      len(authorities))
+        trace_d, pubs_d = put(n + 2, trace, _pubs_fp(chain_pub))
+        chain_prf = prover.prove(chain_air, trace_d, pubs_d, config)
+        cp.store("chain", config, parts, chain_prf, chain_pub)
 
     # -- precommit signatures ----------------------------------------------
     message = scale.encode_precommit_bytes(target_hash, target_block,
@@ -172,10 +202,17 @@ def prove_header_range(
     sig_publics, sig_proofs, shard_list = [], [], []
     for i, shard in enumerate(shards):
         air = Ed25519VerifyAir(shard, B=ed_B)
-        strace, _ = air.make_trace_vec()
-        publics = air.publics_list()
-        trace_d, pubs_d = put(i, strace, _pubs_fp(publics))
-        sig_proofs.append(prover.prove(air, trace_d, pubs_d, config))
+        parts = (_sig_ckpt_bytes(shard), message, str(ed_B).encode())
+        hit = cp.load("sig", config, parts, air)
+        if hit is not None:
+            proof, publics = hit
+        else:
+            strace, _ = air.make_trace_vec()
+            publics = air.publics_list()
+            trace_d, pubs_d = put(i, strace, _pubs_fp(publics))
+            proof = prover.prove(air, trace_d, pubs_d, config)
+            cp.store("sig", config, parts, proof, publics)
+        sig_proofs.append(proof)
         sig_publics.append(publics)
         shard_list.append(list(air.sigs))
 
@@ -366,8 +403,11 @@ def prove_rotate(
     max_authorities: int,
     ed_B: int = 8,
     devices=None,
+    checkpoint: Optional[str] = None,
 ) -> RotateStarkProof:
     devices = devices or jax.devices()
+    from .checkpoint import Checkpoint
+    cp = Checkpoint(checkpoint)
 
     def put(i, trace, pubs):
         dev = devices[i % len(devices)]
@@ -377,18 +417,30 @@ def prove_rotate(
     air_r = RotateHeaderAir(max_chunks)
     trace, publics, digest, (start, n_new, new_pubkeys) = \
         air_r.make_trace(bytes(header))
-    trace_d, pubs_d = put(0, trace, _pubs_fp(publics))
-    header_proof = prover.prove(air_r, trace_d, pubs_d, config)
+    parts_h = (bytes(header), str(max_chunks).encode())
+    hit = cp.load("rot-hdr", config, parts_h, air_r)
+    if hit is not None:
+        header_proof = hit[0]
+    else:
+        trace_d, pubs_d = put(0, trace, _pubs_fp(publics))
+        header_proof = prover.prove(air_r, trace_d, pubs_d, config)
+        cp.store("rot-hdr", config, parts_h, header_proof, publics)
     end = start + int(publics[P_WLEN])
     window = bytes(header)[start:end]
 
     def chain(keys, slot):
         air = ChainedSha256Air(max_authorities)
+        parts = (b"".join(keys), str(max_authorities).encode())
+        hit = cp.load("rot-chain", config, parts, air)
+        if hit is not None:
+            return list(hit[1]), hit[0]
         words = ChainedSha256Air.pubkeys_to_words(list(keys),
                                                   max_authorities)
         tr, pub, _ = air.make_trace(words, len(keys))
         tr_d, pb_d = put(slot, tr, _pubs_fp(pub))
-        return list(pub), prover.prove(air, tr_d, pb_d, config)
+        proof = prover.prove(air, tr_d, pb_d, config)
+        cp.store("rot-chain", config, parts, proof, pub)
+        return list(pub), proof
 
     cur_pub, cur_prf = chain(authorities, 1)
     new_pub, new_prf = chain(new_pubkeys, 2)
@@ -403,10 +455,17 @@ def prove_rotate(
     sig_publics, sig_proofs, shard_list = [], [], []
     for i, shard in enumerate(shard_sigs(sigs, ed_B)):
         air = Ed25519VerifyAir(shard, B=ed_B)
-        strace, _ = air.make_trace_vec()
-        pub = air.publics_list()
-        tr_d, pb_d = put(i, strace, _pubs_fp(pub))
-        sig_proofs.append(prover.prove(air, tr_d, pb_d, config))
+        parts = (_sig_ckpt_bytes(shard), message, str(ed_B).encode())
+        hit = cp.load("sig", config, parts, air)
+        if hit is not None:
+            proof, pub = hit
+        else:
+            strace, _ = air.make_trace_vec()
+            pub = air.publics_list()
+            tr_d, pb_d = put(i, strace, _pubs_fp(pub))
+            proof = prover.prove(air, tr_d, pb_d, config)
+            cp.store("sig", config, parts, proof, pub)
+        sig_proofs.append(proof)
         sig_publics.append(pub)
         shard_list.append(list(air.sigs))
 
