@@ -120,10 +120,14 @@ if __name__ == "__main__":
     # cap (280 chunks / 35,840 B, consts.rs:9-16) needs 512 — beyond one
     # v5e HBM at production blowup; multi-chip sharding is the path there.
     done = None
-    for chunks, size, cfg, tag in (
-            (256, 32000, PROD_CFG_R2, "header_256chunk_r4"),
-            (64, 8000, PROD_CFG, "header_64chunk_r8"),
-            (32, 3900, PROD_CFG, "header_32chunk_r8")):
+    import os
+    attempts = (
+        (256, 32000, PROD_CFG_R2, "header_256chunk_r4"),
+        (64, 8000, PROD_CFG, "header_64chunk_r8"),
+        (32, 3900, PROD_CFG, "header_32chunk_r8"))
+    if os.environ.get("VX_PROD_SMALL"):
+        attempts = attempts[1:]
+    for chunks, size, cfg, tag in attempts:
         try:
             measure_header(chunks=chunks, size=size, cfg=cfg, tag=tag)
             done = tag

@@ -30,3 +30,31 @@ def test_parallel_instances_across_devices():
 
     # cross-wiring publics must fail
     assert not map_prove.verify_many(AIR, proofs, pubs[1:] + pubs[:1], LOG_N, CFG)
+
+
+def test_map_reduce_prove_end_to_end():
+    """Map shards across devices -> ONE reduce proof verifying all of
+    them + chain adjacency (the reference's MapReduce shape). Heavy
+    (in-AIR reduce over two children); gated like the other long proves."""
+    import os
+    import pytest
+    if not os.environ.get("VX_HEAVY_TESTS"):
+        pytest.skip("reduce-node prove ~10 min on the 2-core host; the "
+                    "reduce machine itself is constraint-checked in "
+                    "test_recursion_air.py on every run")
+    from vectorx_tpu.parallel import aggregate as agg
+    cfg = prover.StarkConfig(rate_bits=1, num_queries=2, final_poly_len=4)
+    n = 16
+    tA, pA = FibonacciAir.make_trace(n)
+    a_last = int(np.asarray(tA[0][0, -1])) | (int(np.asarray(tA[1][0, -1])) << 32)
+    b_last = int(np.asarray(tA[0][1, -1])) | (int(np.asarray(tA[1][1, -1])) << 32)
+    tB, pB = FibonacciAir.make_trace(n, a_last, b_last)
+    layout = agg.ChainLayout(start=(0,), end=(2,))
+    node = map_prove.map_reduce_prove(
+        AIR, [tA, tB],
+        [[gl.to_fp(x) for x in pA], [gl.to_fp(x) for x in pB]],
+        layout, cfg)
+    shapes = [(AIR, 4, cfg, 3), (AIR, 4, cfg, 3)]
+    links = [(0, 2, 1, 0)]
+    expose = [(0, 0), (1, 2)]
+    assert agg.verify_aggregate(node, shapes, links, expose)

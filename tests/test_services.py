@@ -281,6 +281,40 @@ class TestOperator:
         kind, inp = contract.requests[0]
         assert kind == "rotate" and inp.authority_set_id == 5
 
+    def test_run_loop_survives_rpc_failure(self):
+        """Failure recovery parity (vectorx.rs:461-478 / SURVEY §5.3): a
+        dead RPC iteration is logged and the loop continues; the next
+        iteration (connection back) still lands its request."""
+        op, chain, contract = self._mk()
+        contract.set_hashes[5] = bytes([2] * 32)
+        op.config.loop_delay_mins = 0
+        calls = {"n": 0}
+        orig = contract.latest_block
+
+        async def flaky():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ConnectionError("ws dropped")
+            return await orig()
+
+        contract.latest_block = flaky
+
+        async def run_two():
+            task = asyncio.ensure_future(op.run())
+            for _ in range(200):
+                if contract.requests:
+                    break
+                await asyncio.sleep(0.01)
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(run_two())
+        assert calls["n"] >= 2                 # first died, loop went on
+        assert contract.requests               # second iteration succeeded
+
 
 class TestGrandpaDecode:
     """SCALE GrandpaJustification / FinalityProof decoding + alignment

@@ -1,3 +1,3 @@
-from . import mesh, subchain
+from . import aggregate, map_prove, mesh, ntt_dist, subchain
 
-__all__ = ["mesh", "subchain"]
+__all__ = ["aggregate", "map_prove", "mesh", "ntt_dist", "subchain"]

@@ -1,16 +1,18 @@
-"""Data-parallel proving — independent STARK instances across the mesh.
+"""Data-parallel proving — the MapReduce dispatch layer.
 
 The reference distributes its MapReduce leaf proofs (8-header map jobs)
-across platform machines (SURVEY.md §2.3.1); the TPU-native equivalent is
-one proof instance per device. Instance inputs are committed to their
-device; because dispatch is asynchronous, the per-phase jitted kernels of
-different instances execute concurrently across devices while the host
-orchestrates (no cross-proof communication exists — the reduce step joins
-the *outputs*, matching the reference's process-boundary recursion seam).
+across platform machines and joins them with reduce circuits that
+recursively verify pairs (SURVEY.md §2.3.1, subchain_verification.rs:72-289).
+TPU-native equivalents here:
 
-The reduce tree over the resulting proofs (recursive aggregation) is the
-round-2+ roadmap item; today the joiner checks all instances verify and
-combines their public outputs.
+- **map** (`prove_many`): one proof instance per device (round-robin);
+  async dispatch overlaps the per-phase jitted kernels of different
+  instances across the mesh — no cross-proof communication exists, same
+  process-boundary seam as the reference.
+- **reduce** (`map_reduce_prove`): the shard proofs collapse to ONE proof
+  through an in-AIR reduce node (stark/recursion_air.py via
+  parallel/aggregate.py) that verifies every child and links their
+  boundary publics.
 """
 
 from __future__ import annotations
@@ -45,3 +47,24 @@ def verify_many(air: Air, proofs: Sequence, publics: Sequence, log_n: int,
     oks = [verifier.verify(air, pf, pubs, log_n, config)
            for pf, pubs in zip(proofs, publics)]
     return all(bool(ok) for ok in oks)
+
+
+def map_reduce_prove(air: Air, traces: Sequence, publics: Sequence,
+                     layout, config: prover.StarkConfig,
+                     outer_config: Optional[prover.StarkConfig] = None,
+                     devices: Optional[List] = None):
+    """Map-prove every shard across the mesh, then REDUCE to one proof.
+
+    ``layout``: aggregate.ChainLayout naming each shard claim's
+    start/end public slots; adjacent shards are linked end_i ==
+    start_{i+1} inside the reduce node. Returns an aggregate.Node whose
+    single proof verifies every shard and the chain adjacency (check with
+    aggregate.verify_aggregate). Current scope: lookup-free,
+    constant-free shard AIRs (see stark/RECURSION.md phase 4)."""
+    from . import aggregate as agg
+    proofs = prove_many(air, traces, publics, config, devices)
+    log_n = traces[0][0].shape[-1].bit_length() - 1
+    nodes = [agg.Node(air=air, proof=p, publics=list(pu), log_n=log_n,
+                      config=config, layout=layout)
+             for p, pu in zip(proofs, publics)]
+    return agg.aggregate_chain(nodes, outer_config or config)
