@@ -113,7 +113,10 @@ def measure_ed25519(B=13):
 
 
 if __name__ == "__main__":
-    import jax
+    import jax, os
+    if os.path.exists("PROD_SIZES.json"):       # merge across partial runs
+        with open("PROD_SIZES.json") as f:
+            OUT.update(json.load(f))
     OUT["backend"] = jax.default_backend()
     # largest single-chip config: walk down until one fits. Valid chunk
     # counts are powers of two (trace rows = 128*chunks); the reference
@@ -127,6 +130,8 @@ if __name__ == "__main__":
         (32, 3900, PROD_CFG, "header_32chunk_r8"))
     if os.environ.get("VX_PROD_SMALL"):
         attempts = attempts[1:]
+    if os.environ.get("VX_PROD_ED_ONLY"):
+        attempts = ()
     for chunks, size, cfg, tag in attempts:
         try:
             measure_header(chunks=chunks, size=size, cfg=cfg, tag=tag)

@@ -175,9 +175,37 @@ def _split(n: int) -> Tuple[int, int]:
     return n1, n // n1
 
 
+#: columns per sequential tile. The block matmul's s32 accumulator is
+#: (batch, 15·n1, n2); untiled, an 800-col trace LDE at 2^16+ wants >12 GB
+#: of HBM temp (observed OOM proving Ed25519VerifyAir, 3336 cols). lax.map
+#: over column tiles bounds the temp at TILE×15×N ints with no FLOP change.
+NTT_BATCH_TILE = 128
+
+
 @partial(jax.jit, static_argnames=("inverse",))
 def ntt_mxu(x: gl.Fp, inverse: bool = False) -> gl.Fp:
-    """Four-step forward/inverse NTT over the last axis (N = 2^k, k >= 8)."""
+    """Four-step forward/inverse NTT over the last axis (N = 2^k, k >= 4).
+
+    Batches wider than NTT_BATCH_TILE stream through the MXU in tiles."""
+    lead = x[0].shape[:-1]
+    n = x[0].shape[-1]
+    b = 1
+    for d in lead:
+        b *= d
+    if b > NTT_BATCH_TILE:
+        t = NTT_BATCH_TILE
+        nb = -(-b // t)
+        pad = nb * t - b
+        lo = jnp.pad(x[0].reshape(b, n), ((0, pad), (0, 0)))
+        hi = jnp.pad(x[1].reshape(b, n), ((0, pad), (0, 0)))
+        out = jax.lax.map(lambda c: _ntt_mxu_core(c, inverse),
+                          (lo.reshape(nb, t, n), hi.reshape(nb, t, n)))
+        return (out[0].reshape(nb * t, n)[:b].reshape(lead + (n,)),
+                out[1].reshape(nb * t, n)[:b].reshape(lead + (n,)))
+    return _ntt_mxu_core(x, inverse)
+
+
+def _ntt_mxu_core(x: gl.Fp, inverse: bool = False) -> gl.Fp:
     n = x[0].shape[-1]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n and log_n >= 4
