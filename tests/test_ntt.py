@@ -68,3 +68,21 @@ def test_eval_poly_at():
     got = gl.from_fp(pntt.eval_poly_at(gl.to_fp([coeffs]), gl.to_fp([pt])))
     want = sum(c * pow(pt, i, P) for i, c in enumerate(coeffs)) % P
     assert int(got[0]) == want
+
+
+def test_mxu_batch_tiling_matches_butterfly():
+    """Batches wider than NTT_BATCH_TILE stream through lax.map tiles —
+    bit-exact vs the butterfly path (the untiled einsum OOMed one v5e on
+    ~3000-column AIR LDEs; see ntt_mxu.NTT_BATCH_TILE)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vectorx_tpu.poly import ntt as pntt
+    from vectorx_tpu.poly.ntt_mxu import NTT_BATCH_TILE, ntt_mxu
+
+    rng = np.random.default_rng(17)
+    b = NTT_BATCH_TILE + 9          # forces 2 tiles + padding
+    x = gl.to_fp(rng.integers(0, gl.MODULUS, (b, 32),
+                              dtype=np.uint64).astype(object))
+    assert bool(jnp.all(gl.eq(pntt._ntt_butterfly(x), ntt_mxu(x))))
+    assert bool(jnp.all(gl.eq(pntt._ntt_butterfly(x, inverse=True),
+                              ntt_mxu(x, inverse=True))))
