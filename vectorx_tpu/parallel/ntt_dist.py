@@ -4,17 +4,22 @@ SURVEY.md §2.3.3: a single transform too large for one chip splits its
 butterfly stages across the mesh. The four-step decomposition (ntt_mxu.py)
 makes the communication pattern exact and minimal:
 
-    view x as (n1, n2), shard the n2 (column) axis over the mesh
-    stage 1: per-device column DFTs  — (n1 × n1) @ (n1, n2/D), LOCAL MXU
+    view x as (B, n1, n2), shard the n2 (column) axis over the mesh
+    stage 1: per-device column DFTs  — (n1 × n1) @ (B, n1, n2/D), LOCAL MXU
     twiddle: elementwise w^(k1·j)    — LOCAL (table sharded the same way)
     transpose: (n1, n2) → (n2, n1)   — ONE all_to_all over ICI
-    stage 2: per-device column DFTs  — (n2 × n2) @ (n2, n1/D), LOCAL MXU
+    stage 2: per-device column DFTs  — (n2 × n2) @ (B, n2, n1/D), LOCAL MXU
 
 All FLOPs stay on the MXU; the single collective moves each element once
-(the theoretical minimum for a distributed transpose). Input: the (n1, n2)
-matrix view sharded P(None, axis); output: the transposed (n2, n1) result
-sharded P(None, axis) — flat order k2·n1 + k1, matching ntt_mxu's output
-layout.
+(the theoretical minimum for a distributed transpose). The B axis batches
+independent polynomials (trace columns) through the SAME collective — one
+LDE of an 800-column trace is exactly two sharded transforms, not 1,600.
+
+Compile caching: `shard_map` closures are built ONCE per
+(mesh, axis, n1, n2, inverse) and stored in `_STEP_CACHE`; jax.jit then
+caches executables per batch shape. (Round 2 built a fresh closure per
+call — 97 s of XLA:CPU recompile per transform, which timed out the
+driver's multichip dryrun. Do not regress this.)
 """
 
 from __future__ import annotations
@@ -31,25 +36,31 @@ from ..poly import ntt_mxu as nm
 
 P = gl.MODULUS
 
-
-def _as_matrix(x: gl.Fp):
-    n = x[0].shape[-1]
-    n1, n2 = nm._split(n)
-    return (x[0].reshape(n1, n2), x[1].reshape(n1, n2)), n1, n2
+# (mesh_key, axis, n1, n2, inverse) -> (jitted step, sharded twiddle planes)
+_STEP_CACHE: dict = {}
 
 
-def ntt_sharded(x: gl.Fp, mesh: Mesh, axis: str = "batch",
-                inverse: bool = False) -> gl.Fp:
-    """Distributed four-step NTT of one (n,) polynomial over `mesh`.
+def _mesh_key(mesh: Mesh, axis: str):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+            tuple(mesh.shape.items()), axis)
 
-    Returns the flat (n,) result (== poly.ntt/ntt_mxu output), computed
-    with the column axis sharded and ONE all_to_all at the transpose.
+
+def _build_step(mesh: Mesh, axis: str, n1: int, n2: int, inverse: bool):
+    """Compile-cached batched four-step NTT step over `mesh`.
+
+    Returns (step, tw_sharded): step takes ((B, n1, n2) lo/hi planes,
+    tw planes) and returns (B, n2, n1) planes of the transposed result —
+    flat order k2·n1 + k1 per batch element, matching ntt_mxu's layout.
     """
-    D = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis]))
-    xm, n1, n2 = _as_matrix(x)
+    key = (_mesh_key(mesh, axis), n1, n2, inverse)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    D = mesh.shape[axis]
+    assert n2 % D == 0 and n1 % D == 0, (n1, n2, D)
     n = n1 * n2
     log_n = n.bit_length() - 1
-    assert n2 % D == 0 and n1 % D == 0, (n1, n2, D)
     root = gl.primitive_root_of_unity(log_n)
     if inverse:
         root = pow(root, P - 2, P)
@@ -59,59 +70,87 @@ def ntt_sharded(x: gl.Fp, mesh: Mesh, axis: str = "batch",
     m2p, m2r = nm._dft_block_planes(n2, w2)
     tw = nm._twiddle_table(n1, n2, root)
 
-    col = NamedSharding(mesh, Pspec(None, axis))
+    col3 = NamedSharding(mesh, Pspec(None, None, axis))
+    col2 = NamedSharding(mesh, Pspec(None, axis))
+    tw_s = jax.device_put((jnp.asarray(tw[0]), jnp.asarray(tw[1])), col2)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(Pspec(None, axis), Pspec(None, axis)),
-             out_specs=Pspec(None, axis))
-    def step(xm_loc, tw_loc):
-        # stage 1: column DFTs on the local panel (n1, n2/D)
+             in_specs=(Pspec(None, None, axis), Pspec(None, axis)),
+             out_specs=Pspec(None, None, axis))
+    def _shard_step(xm_loc, tw_loc):
+        # stage 1: column DFTs on the local panel (B, n1, n2/D)
         y = nm._matmul_mod(jnp.asarray(m1p), jnp.asarray(m1r), xm_loc)
         y = gl.mul(y, (jnp.broadcast_to(tw_loc[0], y[0].shape),
                        jnp.broadcast_to(tw_loc[1], y[0].shape)))
 
-        # distributed transpose: (n1, n2)@cols -> (n2, n1)@cols
+        # distributed transpose: (B, n1, n2)@cols -> (B, n2, n1)@cols
         def transpose(c):
+            b = c.shape[0]
             r = n1 // D
-            a = c.reshape(D, r, c.shape[-1])          # split row blocks
-            a = jax.lax.all_to_all(a, axis, 0, 0)     # (D, r, n2/D)
-            a = jnp.moveaxis(a, 0, 1).reshape(r, n2)  # rows e·r..(e+1)r
-            return a.T                                # (n2, r)
+            a = c.reshape(b, D, r, c.shape[-1])       # split row blocks
+            a = jax.lax.all_to_all(a, axis, 1, 1)     # (B, D, r, n2/D)
+            a = jnp.moveaxis(a, 1, 2).reshape(b, r, n2)
+            return jnp.swapaxes(a, -1, -2)            # (B, n2, r)
 
         yt = (transpose(y[0]), transpose(y[1]))
 
-        # stage 2: column DFTs on the transposed panel (n2, n1/D)
+        # stage 2: column DFTs on the transposed panel (B, n2, n1/D)
         return nm._matmul_mod(jnp.asarray(m2p), jnp.asarray(m2r), yt)
 
-    xm_s = jax.device_put(xm, col)
-    tw_s = jax.device_put((jnp.asarray(tw[0]), jnp.asarray(tw[1])), col)
-    zt = step(xm_s, tw_s)                              # (n2, n1) col-shard
-    out = (zt[0].reshape(n), zt[1].reshape(n))
+    step = jax.jit(_shard_step, in_shardings=(col3, col2),
+                   out_shardings=col3)
+    _STEP_CACHE[key] = (step, tw_s)
+    return step, tw_s
+
+
+def _run(x_flat: gl.Fp, mesh: Mesh, axis: str, inverse: bool) -> gl.Fp:
+    """(B, n) planes -> (B, n) transformed planes (natural order)."""
+    b, n = x_flat[0].shape
+    n1, n2 = nm._split(n)
+    step, tw_s = _build_step(mesh, axis, n1, n2, inverse)
+    col3 = NamedSharding(mesh, Pspec(None, None, axis))
+    xm = jax.device_put((x_flat[0].reshape(b, n1, n2),
+                         x_flat[1].reshape(b, n1, n2)), col3)
+    zt = step(xm, tw_s)                               # (B, n2, n1) col-shard
+    out = (zt[0].reshape(b, n), zt[1].reshape(b, n))
     if inverse:
         ninv = pow(n, P - 2, P)
         out = gl.mul_scalar(out, ninv)
     return out
 
 
+def ntt_sharded(x: gl.Fp, mesh: Mesh, axis: str = "batch",
+                inverse: bool = False) -> gl.Fp:
+    """Distributed four-step NTT over `mesh`; last axis is the transform.
+
+    Accepts (n,) or (B, n) planes; batch elements ride the same single
+    all_to_all. Output matches poly.ntt/ntt_mxu bit-exactly.
+    """
+    flat = x[0].ndim == 1
+    xf = ((x[0][None, :], x[1][None, :]) if flat else x)
+    out = _run(xf, mesh, axis, inverse)
+    if flat:
+        return out[0][0], out[1][0]
+    return out
+
+
 def coset_lde_sharded(evals: gl.Fp, rate_bits: int, mesh: Mesh,
                       axis: str = "batch",
                       shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gl.Fp:
-    """Distributed trace LDE: per-column coset blowup with every transform
-    butterfly-partitioned across `mesh` (poly/ntt.coset_lde semantics).
-    Plug into prover.prove via the ``lde_fn`` seam."""
+    """Distributed trace LDE: ALL columns blown up via two batched sharded
+    transforms (poly/ntt.coset_lde semantics). Plug into prover.prove via
+    the ``lde_fn`` seam."""
     from ..poly import ntt as pntt
-    n = evals[0].shape[-1]
+    flat = evals[0].ndim == 1
+    ev = ((evals[0][None, :], evals[1][None, :]) if flat else evals)
+    b, n = ev[0].shape
     n_ext = n << rate_bits
+    coeffs = _run(ev, mesh, axis, inverse=True)
     sp = pntt._shift_powers(n, shift % P)
-    spj = (jnp.asarray(sp[0]), jnp.asarray(sp[1]))
-    cols_lo, cols_hi = [], []
-    for c in range(evals[0].shape[0]):
-        coeffs = ntt_sharded((evals[0][c], evals[1][c]), mesh, axis,
-                             inverse=True)
-        scaled = gl.mul(coeffs, spj)
-        padded = (jnp.pad(scaled[0], (0, n_ext - n)),
-                  jnp.pad(scaled[1], (0, n_ext - n)))
-        out = ntt_sharded(padded, mesh, axis)
-        cols_lo.append(out[0])
-        cols_hi.append(out[1])
-    return jnp.stack(cols_lo), jnp.stack(cols_hi)
+    scaled = gl.mul(coeffs, (jnp.asarray(sp[0]), jnp.asarray(sp[1])))
+    padded = (jnp.pad(scaled[0], ((0, 0), (0, n_ext - n))),
+              jnp.pad(scaled[1], ((0, 0), (0, n_ext - n))))
+    out = _run(padded, mesh, axis, inverse=False)
+    if flat:
+        return out[0][0], out[1][0]
+    return out
