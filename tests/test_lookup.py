@@ -70,3 +70,44 @@ def test_lookup_rejects_forged_multiplicity():
     proof.aux_rows_a = (rows[0].at[0, 0].set(rows[0][0, 0] ^ jnp.uint32(1)),
                         rows[1])
     assert not bool(verifier.verify(AIR, proof, pubs, LOG_N, CFG))
+
+
+def test_tiled_logup_quotient_bit_exact():
+    """The HBM-lean lax.scan LogUp path (VX_LOGUP_TILE) must emit the
+    byte-identical proof to the grouped-tensor path — same α assignment,
+    same transcript (the round-2 Ed25519 B=13 OOM fix)."""
+    import os
+    from vectorx_tpu.stark import serialize
+    from vectorx_tpu.stark.air import Air
+
+    class ManyRangeAir(Air):
+        num_cols = 9
+        num_publics = 1
+
+        def lookup_range_columns(self):
+            return list(range(9))
+
+        def first_row(self, alg, local, publics, consts=()):
+            return [alg.sub(local[0], alg.lift(publics[0]))]
+
+    rng = np.random.default_rng(5)
+    n = 16
+    vals = rng.integers(0, n, (9, n), dtype=np.uint64)
+    trace = gl.to_fp(vals)
+    pubs = [gl.to_fp(int(vals[0, 0]))]
+    cfg = prover.StarkConfig(rate_bits=1, num_queries=2, final_poly_len=4)
+    old = os.environ.get("VX_LOGUP_TILE")
+    try:
+        os.environ["VX_LOGUP_TILE"] = "0"
+        p0 = prover.prove(ManyRangeAir(), trace, pubs, cfg)
+        os.environ["VX_LOGUP_TILE"] = "2"
+        air = ManyRangeAir()
+        p1 = prover.prove(air, trace, pubs, cfg)
+        assert bool(verifier.verify(air, p1, pubs, 4, cfg))
+        assert (serialize.serialize_proof(p0)
+                == serialize.serialize_proof(p1))
+    finally:
+        if old is None:
+            os.environ.pop("VX_LOGUP_TILE", None)
+        else:
+            os.environ["VX_LOGUP_TILE"] = old

@@ -222,3 +222,67 @@ def test_recursive_prove_verify_end_to_end(inner):
     bad[2] = (bad[2] + 1) % P
     assert not bool(verifier.verify(vair, oproof, _fp(bad), olog_n,
                                     CFG_MIN))
+
+
+def test_const_column_inner_recursion():
+    """Phase 4: an inner AIR WITH constant columns recurses — the
+    preprocessed-constant VK cap enters as schedule literals, const
+    openings are transcript-absorbed and DEEP/Merkle-bound. Tampering a
+    const opening breaks the machine."""
+    from test_const_vk import ConstAffineAir
+    air = ConstAffineAir()
+    trace, publics = air.make_trace(1 << LOG_N)
+    pubs = _fp(publics)
+    proof = prover.prove(air, trace, pubs, CFG_MIN)
+    assert bool(verifier.verify(air, proof, pubs, LOG_N, CFG_MIN))
+
+    mb = ra.MachineBuilder()
+    cells = [mb.pin_public(v) for v in ra._pub_ints(pubs)]
+    ra.record_stark_verify(mb, air, proof, cells, LOG_N, CFG_MIN)
+    oair = ra.RecursionAir(mb)
+    tr, pu = oair.make_trace()
+    assert check_constraints(oair, tr, _fp(pu))
+
+    # verifier-side rebuild recomputes the same VK literals
+    vair = ra.outer_air_for(air, LOG_N, CFG_MIN, len(pubs))
+    assert vair.schedule_digest() == oair.schedule_digest()
+
+    # tampered const ζ-opening: DEEP/ALI consistency breaks in-machine
+    czv = proof.const_zeta
+    bad_cz = ((czv[0][0].at[0].set(czv[0][0][0] ^ np.uint32(1)),
+               czv[0][1]), czv[1])
+    bad = dataclasses.replace(proof, const_zeta=bad_cz)
+    mb2 = ra.MachineBuilder()
+    c2 = [mb2.pin_public(v) for v in ra._pub_ints(pubs)]
+    ra.record_stark_verify(mb2, air, bad, c2, LOG_N, CFG_MIN)
+    a2 = ra.RecursionAir(mb2)
+    t2, p2 = a2.make_trace()
+    assert not check_constraints(a2, t2, _fp(p2))
+
+
+def test_two_level_recursion_constraints(inner):
+    """Phase 4b: a recursion proof is itself recursable (RecursionAir's
+    schedule lives in constant columns -> VK path), enabling log-depth
+    reduce trees (subchain_verification.rs:233-289's recursive shape).
+
+    The level-1 outer proof uses a short FRI (final_poly_len 32) so the
+    level-2 machine stays CI-sized; the tamper variant reuses the SAME
+    trace with shifted publics (the osel pins must then fail)."""
+    air, proof, pubs = inner
+    cfg1 = prover.StarkConfig(rate_bits=1, num_queries=2,
+                              final_poly_len=32)
+    oair, oproof, opubs = ra.prove_recursive(air, proof, pubs, LOG_N,
+                                             CFG_MIN, cfg1)
+    olog_n = oair.n_rows.bit_length() - 1
+
+    mb = ra.MachineBuilder()
+    cells = [mb.pin_public(v) for v in opubs]
+    ra.record_stark_verify(mb, oair, oproof, cells, olog_n, cfg1)
+    a2 = ra.RecursionAir(mb)
+    t2, p2 = a2.make_trace()
+    assert check_constraints(a2, t2, _fp(p2))
+
+    # tampered level-1 public: the level-2 machine must reject
+    badp = list(p2)
+    badp[0] = (badp[0] + 1) % P
+    assert not check_constraints(a2, t2, _fp(badp))

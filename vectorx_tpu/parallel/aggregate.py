@@ -56,8 +56,11 @@ def aggregate_chain(nodes: Sequence[Node], outer_config,
     layout is canonical (start slots first, end slots after).
     """
     assert len(nodes) >= 1
-    if len(nodes) == 1 and not extra_expose:
-        return nodes[0]
+    # NOTE: a single child is still wrapped in a reduce node (not passed
+    # through) so callers always receive the canonical aggregate layout
+    # (start slots first, end slots after) and a RecursionAir proof —
+    # round-2 returned the child itself here, handing callers a Node
+    # whose publics convention differed from the N>1 case.
     links = []
     for i in range(len(nodes) - 1):
         ea, sb = nodes[i].layout.end, nodes[i + 1].layout.start

@@ -90,6 +90,21 @@ class StarkProof:
     aux_rows_b: gl.Fp | None = None
     aux_paths_a: gl.Fp | None = None
     aux_paths_b: gl.Fp | None = None
+    # Preprocessed-constant openings (present iff air.constant_columns is
+    # non-empty). The constant-column coset LDE is committed ONCE per
+    # (air, log_n, config) into a Poseidon tree — the VERIFYING KEY
+    # (constant_vk) — whose cap the verifier recomputes from the AIR
+    # itself (never trusted from the proof). ζ/gζ values feed ALI in
+    # place of barycentric evaluation; rows/paths bind them through DEEP
+    # — the exact plonky2 `constants_sigmas_cap` role
+    # (/root/reference: plonky2 recursion dependency), enabling in-AIR
+    # recursion of constant-column AIRs (stark/RECURSION.md phase 4).
+    const_zeta: ext.Fp2 | None = None   # (num_consts,)
+    const_gzeta: ext.Fp2 | None = None
+    const_rows_a: gl.Fp | None = None
+    const_rows_b: gl.Fp | None = None
+    const_paths_a: gl.Fp | None = None
+    const_paths_b: gl.Fp | None = None
 
 
 def _alpha_powers(alpha: ext.Fp2, n: int) -> List[ext.Fp2]:
@@ -155,6 +170,31 @@ def _ext_vec_scale(s: ext.Fp2, v: ext.Fp2) -> ext.Fp2:
 
 def num_quotient_chunks(air: Air) -> int:
     return max(air.max_constraint_degree - 1, 1)
+
+
+def constant_vk(air: Air, log_n: int, config: "StarkConfig"):
+    """The preprocessed-constant commitment (verifying key) for one
+    AIR/shape — or None if the AIR has no constant columns.
+
+    Returns (tree, rows, cfp, c_lde): the Poseidon Merkle tree over the
+    transposed constant-column coset LDE, its leaf rows, the subgroup
+    evals and the LDE. Pure function of (air, log_n, rate, cap_height) —
+    cached on the air object; a verifier calls this to obtain the cap it
+    trusts (derived from the AIR, never read from a proof)."""
+    cache = air.__dict__.setdefault("_vx_vk", {})
+    key = (log_n, config.rate_bits, config.cap_height)
+    if key not in cache:
+        n = 1 << log_n
+        cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
+        if cvals.shape[0] == 0:
+            cache[key] = None
+        else:
+            cfp = gl.to_fp(cvals)
+            c_lde = pntt.coset_lde(cfp, config.rate_bits)
+            rows = (c_lde[0].T, c_lde[1].T)
+            tree = merkle.build(rows, cap_height=config.cap_height)
+            cache[key] = (tree, rows, cfp, c_lde)
+    return cache[key]
 
 
 # ---------------------------------------------------------------------------
@@ -339,12 +379,6 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
         if has_lk:
             lk_p = _padded_lk(air.lookup_range_columns())
             kk2 = len(lk_p) // 2
-            ci = jnp.asarray(lk_p, dtype=jnp.int32)
-            w_all = ext.from_base((trace_lde[0][ci], trace_lde[1][ci]))
-            w0_g = _ext_slice0(w_all, slice(0, None, 2))    # (kk2, N_lde)
-            w1_g = _ext_slice0(w_all, slice(1, None, 2))
-            invs_g = ((aux_lde[0][0:2 * kk2:2], aux_lde[1][0:2 * kk2:2]),
-                      (aux_lde[0][1:2 * kk2:2], aux_lde[1][1:2 * kk2:2]))
 
             def aux_elem(i):
                 return ((aux_lde[0][2 * i], aux_lde[1][2 * i]),
@@ -364,10 +398,20 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
             t_next_v = ext.from_base(
                 (jnp.roll(aux_lde[0][2 * kk2 + 5], -blowup),
                  jnp.roll(aux_lde[1][2 * kk2 + 5], -blowup)))
+        tile = _logup_tile()
+        tiled_lk = has_lk and bool(tile) and kk2 > tile
+
+        if has_lk and not tiled_lk:
+            ci = jnp.asarray(lk_p, dtype=jnp.int32)
+            w_all = ext.from_base((trace_lde[0][ci], trace_lde[1][ci]))
+            w0_g = _ext_slice0(w_all, slice(0, None, 2))    # (kk2, N_lde)
+            w1_g = _ext_slice0(w_all, slice(1, None, 2))
+            invs_g = ((aux_lde[0][0:2 * kk2:2], aux_lde[1][0:2 * kk2:2]),
+                      (aux_lde[0][1:2 * kk2:2], aux_lde[1][1:2 * kk2:2]))
             lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
                 gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v,
                 t_v, t_next_v)
-        else:
+        elif not has_lk:
             lk_e, lk_t, lk_f, lk_l = [], [], [], []
 
         def _group_size(c):
@@ -378,10 +422,73 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
             g = c[0][0].shape[:-1]
             return int(np.prod(g)) if g else 1
 
-        n_constraints = (sum(_group_size(c) for c in ct + cf + cl)
-                         + sum(_group_size_ext(c)
-                               for c in lk_t + lk_f + lk_l + lk_e))
-        alphas_arr = _alpha_power_array(alpha, n_constraints)
+        if tiled_lk:
+            # -- HBM-lean LogUp: lax.scan over column-pair tiles ----------
+            # The grouped path holds ~30 (kk2, N_lde) ext temps — ~12.5 GB
+            # for Ed25519VerifyAir (kk2≈1591) at rate 8, the round-2 OOM.
+            # Scanning TILE pairs at a time bounds live temps at TILE×N_lde
+            # while producing the IDENTICAL α-combination: the pair-defs
+            # block occupies α^[k_e_base, k_e_base+kk2) in flatten order,
+            # exactly as _combine_ext assigns to the grouped tensor.
+            one = ext.ones(())
+            n_air = sum(_group_size(c) for c in ct + cf + cl)
+            k_e_base = n_air + 2 + 2 + 1      # + lk_t + lk_f + lk_l
+            n_tiles = -(-kk2 // tile)
+            padded = n_tiles * tile
+            alphas_arr = _alpha_power_array(alpha, k_e_base + padded + 1)
+            w0_idx = np.empty((n_tiles, tile), np.int32)
+            w1_idx = np.empty((n_tiles, tile), np.int32)
+            a0_idx = np.empty((n_tiles, tile), np.int32)
+            a1_idx = np.empty((n_tiles, tile), np.int32)
+            msk = np.zeros((n_tiles, tile), np.uint32)
+            for j in range(padded):
+                t_, l_ = divmod(j, tile)
+                jj = min(j, kk2 - 1)          # tail pad repeats, masked out
+                w0_idx[t_, l_] = lk_p[2 * jj]
+                w1_idx[t_, l_] = lk_p[2 * jj + 1]
+                a0_idx[t_, l_] = 2 * jj
+                a1_idx[t_, l_] = 2 * jj + 1
+                msk[t_, l_] = 1 if j < kk2 else 0
+            al_e = _slice_ext(alphas_arr, k_e_base, k_e_base + padded)
+            al_tiles = jax.tree_util.tree_map(
+                lambda a: a.reshape(n_tiles, tile), al_e)
+
+            def body(carry, xs):
+                contrib_c, ce_c = carry
+                w0i, w1i, a0i, a1i, m, al = xs
+                w0 = ext.from_base((trace_lde[0][w0i], trace_lde[1][w0i]))
+                w1 = ext.from_base((trace_lde[0][w1i], trace_lde[1][w1i]))
+                inv = ((aux_lde[0][a0i], aux_lde[1][a0i]),
+                       (aux_lde[0][a1i], aux_lde[1][a1i]))
+                d0 = ext.sub(gamma, w0)
+                d1 = ext.sub(gamma, w1)
+                defs = ext.sub(ext.mul(ext.mul(d0, d1), inv), one)
+                mask_fp = (m[:, None], jnp.zeros_like(m)[:, None])
+                pairc = ext.mul_base(ext.mul(inv, ext.add(d0, d1)),
+                                     mask_fp)
+                contrib_c = ext.add(contrib_c, _ext_sum0(pairc))
+                ce_c = ext.add(ce_c, _weighted_sum0(
+                    ext.mul_base(defs, mask_fp), al))
+                return (contrib_c, ce_c), None
+
+            init = (ext.zeros((n_lde,)), ext.zeros((n_lde,)))
+            (contrib, ce_part), _ = jax.lax.scan(
+                body, init,
+                (jnp.asarray(w0_idx), jnp.asarray(w1_idx),
+                 jnp.asarray(a0_idx), jnp.asarray(a1_idx),
+                 jnp.asarray(msk), al_tiles))
+            contrib = ext.sub(contrib, ext.mul(m_v, inv_t_v))
+            def_t = ext.sub(ext.mul(ext.sub(gamma, t_v), inv_t_v), one)
+            lk_t = [ext.sub(ext.sub(s_next_v, s_v), contrib),
+                    ext.sub(ext.sub(t_next_v, t_v), one)]
+            lk_f = [s_v, t_v]
+            lk_l = [ext.add(s_v, contrib)]
+            lk_e = []                          # folded into ce_part
+        else:
+            n_constraints = (sum(_group_size(c) for c in ct + cf + cl)
+                             + sum(_group_size_ext(c)
+                                   for c in lk_t + lk_f + lk_l + lk_e))
+            alphas_arr = _alpha_power_array(alpha, n_constraints)
 
         def _bc_mul(a, b):
             return gl.mul((jnp.broadcast_to(a[0], b[0].shape),
@@ -429,7 +536,13 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
         cf_comb, k = _combine_ext(lk_f, alphas_arr, k, cf_comb)
         cl_comb, k = _combine(cl, alphas_arr, k)
         cl_comb, k = _combine_ext(lk_l, alphas_arr, k, cl_comb)
-        ce_comb, k = _combine_ext(lk_e, alphas_arr, k, ext.zeros((n_lde,)))
+        if tiled_lk:
+            assert k == k_e_base, (k, k_e_base)
+            ce_comb = ext.add(ce_part, _ext_vec_scale(
+                _pick_ext(alphas_arr, k_e_base + kk2), def_t))
+        else:
+            ce_comb, k = _combine_ext(lk_e, alphas_arr, k,
+                                      ext.zeros((n_lde,)))
 
         # quotient: divide by the per-class vanishing polynomials
         x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
@@ -465,6 +578,17 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
         return (quot_cols_lo, quot_cols_hi), chunk_evals_lde, chunk_evals_sub
 
     return fn
+
+
+def _logup_tile() -> int:
+    """Pair-tile size for the grouped LogUp constraint evaluation inside
+    the fused quotient phase. Limb-heavy AIRs (Ed25519VerifyAir: ~1591
+    looked pairs) otherwise hold ~30 (kk2, N_lde) ext temps — ~12.5 GB at
+    rate 8, the round-2 B=13 OOM (PROD_SIZES.json). lax.scan over tiles
+    bounds live temps at TILE×N_lde with no FLOP change and the identical
+    α-combination. VX_LOGUP_TILE overrides; 0 disables tiling."""
+    import os
+    return int(os.environ.get("VX_LOGUP_TILE", "128"))
 
 
 def phase_jit_enabled() -> bool:
@@ -521,6 +645,16 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     g_last = pow(g_dom, n - 1, P)
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
 
+    # -- 0: preprocessed-constant VK (cached per air/shape) ----------------
+    vk = constant_vk(air, log_n, config)
+    has_consts = vk is not None
+    if has_consts:
+        vk_tree, vk_rows, cfp, c_lde = vk
+        n_consts = cfp[0].shape[0]
+    else:
+        vk_tree = vk_rows = cfp = c_lde = None
+        n_consts = 0
+
     # -- 1/2: trace LDE + commitment --------------------------------------
     trace_lde = (lde_fn or pntt.coset_lde)(trace, rate)   # (num_cols, N_lde)
     trace_rows = (trace_lde[0].T, trace_lde[1].T)   # (N_lde, num_cols)
@@ -528,6 +662,10 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
 
     challenger.observe((jnp.stack([p[0] for p in publics]),
                         jnp.stack([p[1] for p in publics])))
+    if has_consts:
+        # bind the verifying key into the transcript (domain separation
+        # between AIRs sharing a trace shape)
+        challenger.observe_digests(vk_tree.cap)
     challenger.observe_digests(trace_tree.cap)
 
     # -- LogUp aux phase (only when the AIR declares range lookups) --------
@@ -548,8 +686,6 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     alpha = ((alpha[0][0][0], alpha[0][1][0]), (alpha[1][0][0], alpha[1][1][0]))
 
     # -- 3/4: constraints + quotient (ONE jitted program per air/shape) ----
-    cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
-    cfp = gl.to_fp(cvals) if cvals.shape[0] else None
     quot_cols, chunk_evals_lde, chunk_evals_sub = _quotient_phase(
         air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde)
     n_chunks = num_quotient_chunks(air)
@@ -569,36 +705,42 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     n_aux = aux_trace[0].shape[0] if has_lk else 0
     aux_part = [aux_trace[0]] if has_lk else []
     aux_part_hi = [aux_trace[1]] if has_lk else []
+    const_part = [cfp[0]] if has_consts else []
+    const_part_hi = [cfp[1]] if has_consts else []
     stack_lo = jnp.concatenate(
-        [trace[0]] + aux_part
+        [trace[0]] + aux_part + const_part
         + [c[j][0][None, :] for c in chunk_evals_sub for j in (0, 1)])
     stack_hi = jnp.concatenate(
-        [trace[1]] + aux_part_hi
+        [trace[1]] + aux_part_hi + const_part_hi
         + [c[j][1][None, :] for c in chunk_evals_sub for j in (0, 1)])
     opened = pdom.barycentric_eval((stack_lo, stack_hi), zeta, log_n)
-    trace_zeta = ((opened[0][0][:num_cols], opened[0][1][:num_cols]),
-                  (opened[1][0][:num_cols], opened[1][1][:num_cols]))
-    if has_lk:
-        aux_zeta = ((opened[0][0][num_cols:num_cols + n_aux],
-                     opened[0][1][num_cols:num_cols + n_aux]),
-                    (opened[1][0][num_cols:num_cols + n_aux],
-                     opened[1][1][num_cols:num_cols + n_aux]))
-        gstack = (jnp.concatenate([trace[0], aux_trace[0]]),
-                  jnp.concatenate([trace[1], aux_trace[1]]))
+
+    def _sl(op, a, b):
+        return ((op[0][0][a:b], op[0][1][a:b]), (op[1][0][a:b], op[1][1][a:b]))
+
+    trace_zeta = _sl(opened, 0, num_cols)
+    aux_zeta = _sl(opened, num_cols, num_cols + n_aux) if has_lk else None
+    const_zeta = (_sl(opened, num_cols + n_aux,
+                      num_cols + n_aux + n_consts) if has_consts else None)
+    if has_lk or has_consts:
+        gstack = (jnp.concatenate([trace[0]] + aux_part + const_part),
+                  jnp.concatenate([trace[1]] + aux_part_hi + const_part_hi))
         opened_g = pdom.barycentric_eval(gstack, g_zeta, log_n)
-        trace_gzeta = ((opened_g[0][0][:num_cols], opened_g[0][1][:num_cols]),
-                       (opened_g[1][0][:num_cols], opened_g[1][1][:num_cols]))
-        aux_gzeta = ((opened_g[0][0][num_cols:], opened_g[0][1][num_cols:]),
-                     (opened_g[1][0][num_cols:], opened_g[1][1][num_cols:]))
+        trace_gzeta = _sl(opened_g, 0, num_cols)
+        aux_gzeta = (_sl(opened_g, num_cols, num_cols + n_aux)
+                     if has_lk else None)
+        const_gzeta = (_sl(opened_g, num_cols + n_aux,
+                           num_cols + n_aux + n_consts)
+                       if has_consts else None)
     else:
-        aux_zeta = aux_gzeta = None
+        aux_zeta = aux_gzeta = const_gzeta = None
         trace_gzeta = pdom.barycentric_eval(trace, g_zeta, log_n)
 
     # recombine chunk components: value = re_v + u*im_v, u^2 = W
     qv = []
     for i in range(n_chunks):
-        re_v = _pick_ext(opened, num_cols + n_aux + 2 * i)
-        im_v = _pick_ext(opened, num_cols + n_aux + 2 * i + 1)
+        re_v = _pick_ext(opened, num_cols + n_aux + n_consts + 2 * i)
+        im_v = _pick_ext(opened, num_cols + n_aux + n_consts + 2 * i + 1)
         a, b = re_v
         c, d = im_v
         qv.append((gl.add(a, gl.mul_scalar(d, ext.W)), gl.add(b, c)))
@@ -614,6 +756,9 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     if has_lk:
         obs_ext(aux_zeta)
         obs_ext(aux_gzeta)
+    if has_consts:
+        obs_ext(const_zeta)
+        obs_ext(const_gzeta)
     obs_ext(quotient_zeta)
 
     beta = challenger.squeeze_ext(1)
@@ -625,9 +770,9 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
                 (jnp.stack([c[1][0] for c in chunk_evals_lde]),
                  jnp.stack([c[1][1] for c in chunk_evals_lde])))
     deep_fn = (_deep_phase_jit if phase_jit_enabled() else _deep_phase_raw)
-    F = deep_fn(log_n, rate, trace_lde, aux_lde, ch_stack,
+    F = deep_fn(log_n, rate, trace_lde, aux_lde, c_lde, ch_stack,
                 trace_zeta, trace_gzeta, aux_zeta, aux_gzeta,
-                quotient_zeta, zeta, g_zeta, beta)
+                const_zeta, const_gzeta, quotient_zeta, zeta, g_zeta, beta)
 
     # -- 6: FRI ------------------------------------------------------------
     fri_proof, indices = fri.prove(F, challenger, config.fri_config)
@@ -638,13 +783,18 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     idx_b = indices + half
     open_fn = (_open_queries_jit if phase_jit_enabled()
                else _open_queries_raw)
-    ((tra, tpa), (trb, tpb), (qra, qpa), (qrb, qpb), aux_opens) = open_fn(
+    ((tra, tpa), (trb, tpb), (qra, qpa), (qrb, qpb), aux_opens,
+     const_opens) = open_fn(
         trace_tree, trace_rows, quot_tree, quot_rows,
-        aux_tree, aux_rows, idx_a, idx_b)
+        aux_tree, aux_rows, vk_tree, vk_rows, idx_a, idx_b)
     if has_lk:
         (ara, apa), (arb, apb) = aux_opens
     else:
         ara = arb = apa = apb = None
+    if has_consts:
+        (cra, cpa), (crb, cpb) = const_opens
+    else:
+        cra = crb = cpa = cpb = None
 
     return StarkProof(
         trace_cap=trace_tree.cap, quotient_cap=quot_tree.cap,
@@ -658,28 +808,37 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         aux_zeta=aux_zeta, aux_gzeta=aux_gzeta,
         aux_rows_a=ara, aux_rows_b=arb,
         aux_paths_a=apa, aux_paths_b=apb,
+        const_zeta=const_zeta, const_gzeta=const_gzeta,
+        const_rows_a=cra, const_rows_b=crb,
+        const_paths_a=cpa, const_paths_b=cpb,
     )
 
 
-def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, ch_stack,
+def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, const_lde, ch_stack,
                     trace_zeta, trace_gzeta, aux_zeta, aux_gzeta,
-                    quotient_zeta, zeta, g_zeta, beta):
+                    const_zeta, const_gzeta, quotient_zeta,
+                    zeta, g_zeta, beta):
     """DEEP composition: β-batched deviation quotients of every opening
-    group into one GF(p^2) codeword. Shapes (and aux presence) are static,
-    so the jitted variant compiles once per prover configuration."""
+    group into one GF(p^2) codeword. Shapes (and aux/const presence) are
+    static, so the jitted variant compiles once per prover config.
+    β-power term order (mirrored by the verifier and the in-AIR recursive
+    verifier): trace ζ | trace gζ | aux ζ | aux gζ | const ζ | const gζ |
+    quotient."""
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
     n_lde = 1 << (log_n + rate)
     num_cols = trace_lde[0].shape[0]
     n_aux = aux_lde[0].shape[0] if aux_lde is not None else 0
+    n_consts = const_lde[0].shape[0] if const_lde is not None else 0
     n_chunks = ch_stack[0][0].shape[0]
     has_lk = aux_lde is not None
+    has_consts = const_lde is not None
 
     x = pdom.domain_points(log_n + rate, shift)     # (N_lde,)
     xe = ext.from_base(x)
     inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, n_lde)))
     inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, n_lde)))
 
-    n_terms = 2 * num_cols + 2 * n_aux + n_chunks
+    n_terms = 2 * num_cols + 2 * n_aux + 2 * n_consts + n_chunks
     betas_arr = _alpha_power_array(beta, n_terms)
 
     tlde_fp2 = ext.from_base(trace_lde)                      # (C, N_lde)
@@ -702,6 +861,17 @@ def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, ch_stack,
             ext.mul(diff_agz, _ext_row(inv_xgz)),
             _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
         kbase += 2 * n_aux
+    if has_consts:
+        clde_fp2 = ext.from_base(const_lde)                  # (Cc, N_lde)
+        diff_cz = ext.sub(clde_fp2, _ext_col(const_zeta))
+        F = ext.add(F, _weighted_sum0(
+            ext.mul(diff_cz, _ext_row(inv_xz)),
+            _slice_ext(betas_arr, kbase, kbase + n_consts)))
+        diff_cgz = ext.sub(clde_fp2, _ext_col(const_gzeta))
+        F = ext.add(F, _weighted_sum0(
+            ext.mul(diff_cgz, _ext_row(inv_xgz)),
+            _slice_ext(betas_arr, kbase + n_consts, kbase + 2 * n_consts)))
+        kbase += 2 * n_consts
     diff_q = ext.sub(ch_stack, _ext_col(quotient_zeta))
     F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
                                   _slice_ext(betas_arr, kbase, n_terms)))
@@ -712,7 +882,7 @@ _deep_phase_jit = jax.jit(_deep_phase_raw, static_argnames=("log_n", "rate"))
 
 
 def _open_queries_raw(trace_tree, trace_rows, quot_tree, quot_rows,
-                      aux_tree, aux_rows, idx_a, idx_b):
+                      aux_tree, aux_rows, vk_tree, vk_rows, idx_a, idx_b):
     """Open every committed tree at both query-index halves."""
     def open_rows(tree, rows, idx):
         leaf = (rows[0][idx], rows[1][idx])
@@ -727,7 +897,11 @@ def _open_queries_raw(trace_tree, trace_rows, quot_tree, quot_rows,
     if aux_tree is not None:
         aux = (open_rows(aux_tree, aux_rows, idx_a),
                open_rows(aux_tree, aux_rows, idx_b))
-    return out + (aux,)
+    consts = None
+    if vk_tree is not None:
+        consts = (open_rows(vk_tree, vk_rows, idx_a),
+                  open_rows(vk_tree, vk_rows, idx_b))
+    return out + (aux, consts)
 
 
 _open_queries_jit = jax.jit(_open_queries_raw)

@@ -478,6 +478,8 @@ def inner_challenges(air: Air, proof, publics: List[gl.Fp]):
                         jnp.stack([p[1] for p in publics])))
     challenger.observe_digests(proof.trace_cap)
     assert not air.lookup_range_columns(), "lookup AIRs: phase 2"
+    assert not np.asarray(air.constant_columns(2)).shape[0], \
+        "const-column AIRs: use recursion_air (phase-4 VK transcript)"
     alpha = challenger.squeeze_ext(1)
     alpha = ((alpha[0][0][0], alpha[0][1][0]),
              (alpha[1][0][0], alpha[1][1][0]))
@@ -503,6 +505,8 @@ def inner_transcript(air: Air, proof, publics: List[gl.Fp], log_n: int,
     from .challenger import Challenger
 
     assert not air.lookup_range_columns(), "lookup AIRs: later phase"
+    assert not np.asarray(air.constant_columns(2)).shape[0], \
+        "const-column AIRs: use recursion_air (phase-4 VK transcript)"
     ch = Challenger.new()
     ch.observe((jnp.stack([p[0] for p in publics]),
                 jnp.stack([p[1] for p in publics])))
@@ -536,6 +540,12 @@ def inner_transcript(air: Air, proof, publics: List[gl.Fp], log_n: int,
     fc = proof.fri_proof.final_coeffs
     ch.observe((jnp.concatenate([fc[0][0], fc[1][0]]),
                 jnp.concatenate([fc[0][1], fc[1][1]])))
+    # FRI grinding nonce (round-2 fri.py change): ALWAYS transcript-bound
+    # before query sampling, even at pow_bits 0 — mirror it exactly or
+    # every query index diverges.
+    ch.observe((jnp.atleast_1d(proof.fri_proof.pow_nonce[0]),
+                jnp.atleast_1d(proof.fri_proof.pow_nonce[1])))
+    ch.squeeze(1)
     indices = [int(i) for i in
                np.asarray(ch.squeeze_indices(fri_cfg.num_queries,
                                              log_n_lde - 1))]

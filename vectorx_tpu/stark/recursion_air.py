@@ -369,24 +369,38 @@ class MachineBuilder:
 class XAlgMB:
     """ExtAlgebra lookalike over MachineBuilder XCells — runs the INNER
     AIR's constraint code to record its ALI evaluation as machine rows.
-    ``publics`` entries must already be XCells (lift is identity)."""
+    ``publics`` entries must already be XCells (lift is identity).
+
+    GROUPED operands (``GX`` lists of XCells — what _stackring produces in
+    this ring) broadcast elementwise against scalars, so grouped-tensor
+    constraint code (RecursionAir itself) records unchanged."""
 
     def __init__(self, mb: MachineBuilder):
         self.mb = mb
 
+    def _zip(self, a, b, f):
+        ga, gb = isinstance(a, GX), isinstance(b, GX)
+        if ga or gb:
+            m = len(a) if ga else len(b)
+            return GX([f(a[i] if ga else a, b[i] if gb else b)
+                       for i in range(m)])
+        return f(a, b)
+
     def add(self, a, b):
-        return self.mb.xadd(a, b)
+        return self._zip(a, b, self.mb.xadd)
 
     def sub(self, a, b):
-        return self.mb.xsub(a, b)
+        return self._zip(a, b, self.mb.xsub)
 
     def mul(self, a, b):
-        return self.mb.xmul(a, b)
+        return self._zip(a, b, self.mb.xmul)
 
     def constant(self, c: int):
         return self.mb.xconst(c % P)
 
     def lift(self, x):
+        if isinstance(x, GX):
+            return x
         assert isinstance(x, tuple) and len(x) == 2
         return x
 
@@ -401,7 +415,23 @@ class XAlgMB:
 # The AIR over a recorded schedule
 # ---------------------------------------------------------------------------
 
+class GX(list):
+    """A GROUP of scalar machine cells (XCells) — the MachineBuilder-ring
+    counterpart of a leading group axis on tensor ring elements. Lets
+    RecursionAir's own constraint code run through XAlgMB, i.e. lets a
+    recursion proof verify ANOTHER recursion proof (log-depth reduce
+    trees, RECURSION.md phase 4/5)."""
+
+
+def _is_xcell(e) -> bool:
+    return (isinstance(e, tuple) and len(e) == 2
+            and isinstance(e[0], (int, np.integer)))
+
+
 def _stackring(elems):
+    elems = list(elems)
+    if _is_xcell(elems[0]):
+        return GX(elems)
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
 
 
@@ -409,7 +439,12 @@ def _is_ext(e) -> bool:
     return isinstance(e[0], tuple)
 
 
-def _sum0(e):
+def _sum0(e, alg=None):
+    if isinstance(e, GX):
+        acc = e[0]
+        for x in e[1:]:
+            acc = alg.add(acc, x)
+        return acc
     if _is_ext(e):
         return (gl.sum_mod(e[0], axis=0), gl.sum_mod(e[1], axis=0))
     return gl.sum_mod(e, axis=0)
@@ -418,6 +453,8 @@ def _sum0(e):
 def _bconst_grouped(arr: np.ndarray, like):
     """numpy int array (G,) or (G, G2) -> base-ring constant broadcastable
     against grouped ring elements shaped (G, *rest)."""
+    if isinstance(like, GX):
+        return arr.astype(np.object_).reshape(-1)
     rest = (like[0][0].ndim if _is_ext(like) else like[0].ndim) - 1
     a = arr.astype(np.object_)
     lo = (a & 0xFFFFFFFF).astype(np.uint32)
@@ -426,16 +463,26 @@ def _bconst_grouped(arr: np.ndarray, like):
     return (jnp.asarray(lo).reshape(shape), jnp.asarray(hi).reshape(shape))
 
 
-def _mulb(e, b):
+def _mulb(e, b, alg=None):
     """ring element × base constant (componentwise for ext)."""
+    if isinstance(e, GX):
+        return GX([alg.mb.xscale(x, int(k)) for x, k in zip(e, b)])
     if _is_ext(e):
         return (gl.mul(e[0], b), gl.mul(e[1], b))
     return gl.mul(e, b)
 
 
-def _mds_grouped(sb):
+def _mds_grouped(sb, alg=None):
     """MDS over a (12, *rest)-grouped ring element."""
     m = np.array(ps.mds_matrix(), dtype=np.object_)
+    if isinstance(sb, GX):
+        out = []
+        for i in range(WIDTH):
+            acc = alg.mb.xscale(sb[0], int(m[i][0]))
+            for j in range(1, WIDTH):
+                acc = alg.mb.xadd(acc, alg.mb.xscale(sb[j], int(m[i][j])))
+            out.append(acc)
+        return GX(out)
     rest = (sb[0][0].ndim if _is_ext(sb) else sb[0].ndim) - 1
     lo = (jnp.asarray((m & 0xFFFFFFFF).astype(np.uint32))
           .reshape((WIDTH, WIDTH) + (1,) * rest))
@@ -591,9 +638,9 @@ class RecursionAir(Air):
         lane0[0] = 1
         m0 = _bconst_grouped(lane0, x7)
         m0c = _bconst_grouped(1 - lane0, x7)
-        part = alg.add(_mulb(x7, m0), _mulb(t, m0c))
+        part = alg.add(_mulb(x7, m0, alg), _mulb(t, m0c, alg))
         sb = alg.add(alg.mul(Ff, x7), alg.mul(Pp, part))
-        mds = _mds_grouped(sb)
+        mds = _mds_grouped(sb, alg)
         # lane transition: R·(h' − MDS) + c2·(h' − h) + c3·h' = 0
         cs.append(alg.add(alg.add(alg.mul(R, alg.sub(hn, mds)),
                                   alg.mul(c2, alg.sub(hn, h))),
@@ -611,9 +658,9 @@ class RecursionAir(Air):
         C = local[self.COL_C]
         one = alg.one()
 
-        cs.append(alg.sub(A, alg.add(_sum0(alg.mul(asel, regs)),
-                                     _sum0(alg.mul(hsel, h)))))
-        cs.append(alg.sub(B, _sum0(alg.mul(bsel, regs))))
+        cs.append(alg.sub(A, alg.add(_sum0(alg.mul(asel, regs), alg),
+                                     _sum0(alg.mul(hsel, h), alg))))
+        cs.append(alg.sub(B, _sum0(alg.mul(bsel, regs), alg)))
 
         lit = consts[self.C_LIT]
         cs.append(alg.mul(consts[self.C_LOAD], alg.sub(C, lit)))
@@ -665,21 +712,26 @@ class RecursionAir(Air):
         cols[self.COL_X3:self.COL_X3 + 12] = x3.T
         cols[self.COL_X7:self.COL_X7 + 12] = x7.T
 
-        # registers: segment-fill between write events
-        regv = [0] * K
+        # registers: forward-fill between write events — one C-level slice
+        # assignment per write instead of an O(n·K) Python loop (the
+        # two-level recursion machine is ~10^5 rows x hundreds of regs)
+        writes: List[List[Tuple[int, int]]] = [[] for _ in range(K)]
         for i, row in enumerate(mb.rows):
-            for k in range(K):
-                cols[self.COL_R + k, i] = regv[k]
             if row.cell >= 0 and self.reg[row.cell] >= 0:
-                regv[self.reg[row.cell]] = mb.vals[row.cell]
-        for i in range(nr, n):
-            for k in range(K):
-                cols[self.COL_R + k, i] = regv[k]
+                writes[self.reg[row.cell]].append((i, mb.vals[row.cell]))
+        for k in range(K):
+            cur = 0
+            start = 0
+            for (i, v) in writes[k]:
+                if start <= i:
+                    cols[self.COL_R + k, start:i + 1] = cur
+                cur = v
+                start = i + 1
+            cols[self.COL_R + k, start:n] = cur
 
-        for i, row in enumerate(mb.rows):
-            cols[self.COL_A, i] = row.aval % P
-            cols[self.COL_B, i] = row.bval % P
-            cols[self.COL_C, i] = row.cval % P
+        cols[self.COL_A, :nr] = [row.aval % P for row in mb.rows]
+        cols[self.COL_B, :nr] = [row.bval % P for row in mb.rows]
+        cols[self.COL_C, :nr] = [row.cval % P for row in mb.rows]
 
         return gl.to_fp(cols), list(mb.publics)
 
@@ -800,6 +852,7 @@ def _zero_proof(air: Air, log_n: int, config):
     lk = air.lookup_range_columns()
     has_lk = len(lk) > 0
     A = num_aux_cols(len(lk)) if has_lk else 0
+    Cc = np.asarray(air.constant_columns(n)).shape[0]
 
     def z(*shape):
         return (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32))
@@ -832,6 +885,12 @@ def _zero_proof(air: Air, log_n: int, config):
         aux_rows_b=z(q, A) if has_lk else None,
         aux_paths_a=z(q, depth, 4) if has_lk else None,
         aux_paths_b=z(q, depth, 4) if has_lk else None,
+        const_zeta=zx(Cc) if Cc else None,
+        const_gzeta=zx(Cc) if Cc else None,
+        const_rows_a=z(q, Cc) if Cc else None,
+        const_rows_b=z(q, Cc) if Cc else None,
+        const_paths_a=z(q, depth, 4) if Cc else None,
+        const_paths_b=z(q, depth, 4) if Cc else None,
     )
 
 
@@ -863,9 +922,8 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     q = config.num_queries
     assert num_layers >= 1, "recursion needs >= 1 FRI layer"
     assert config.cap_height == 0, "recursion: cap_height 0 only (for now)"
-    assert inner_air.constant_columns(n).shape[0] == 0, \
-        "recursion: constant-column inner AIRs need the preprocessed-VK " \
-        "phase (RECURSION.md)"
+    n_consts = int(np.asarray(inner_air.constant_columns(n)).shape[0])
+    has_consts = n_consts > 0
     lk_cols = inner_air.lookup_range_columns()
     has_lk = len(lk_cols) > 0
     lk_p = _padded_lk(lk_cols) if has_lk else []
@@ -897,6 +955,17 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
 
     # -- transcript -------------------------------------------------------
     tr.observe(list(publics_cells))
+    if has_consts:
+        # the preprocessed-constant VK cap enters as SCHEDULE LITERALS —
+        # part of the outer claim's identity (outer_air_for recomputes the
+        # same cap from the inner AIR), exactly plonky2's
+        # constants_sigmas_cap role. Openings below are witness bound to
+        # it by Merkle paths + the DEEP terms.
+        from . import prover as _pv
+        vk_cap_vals = _np_int(_pv.constant_vk(inner_air, log_n,
+                                              config)[0].cap).reshape(-1)
+        vk_cap = [mb.load(int(v)) for v in vk_cap_vals]
+        tr.observe(vk_cap)
     trace_cap = load_digests(proof.trace_cap)
     tr.observe(trace_cap)
     if has_lk:
@@ -916,6 +985,9 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     if has_lk:
         az = load_ext_vec(proof.aux_zeta, A)
         agz = load_ext_vec(proof.aux_gzeta, A)
+    if has_consts:
+        cz = load_ext_vec(proof.const_zeta, n_consts)
+        cgz = load_ext_vec(proof.const_gzeta, n_consts)
     qz = load_ext_vec(proof.quotient_zeta, n_chunks)
     beta = tr.squeeze_ext()
 
@@ -945,9 +1017,12 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     # -- ALI at ζ ---------------------------------------------------------
     alg = XAlgMB(mb)
     publics_x = [(c, zero) for c in publics_cells]
-    ct = inner_air.transition(alg, tz, tgz, publics_x, [], [])
-    cf = inner_air.first_row(alg, tz, publics_x, [])
-    cl = inner_air.last_row(alg, tz, publics_x, [])
+    consts_x = cz if has_consts else []
+    consts_next_x = cgz if has_consts else []
+    ct = inner_air.transition(alg, tz, tgz, publics_x, consts_x,
+                              consts_next_x)
+    cf = inner_air.first_row(alg, tz, publics_x, consts_x)
+    cl = inner_air.last_row(alg, tz, publics_x, consts_x)
 
     def recomb(re_xc, im_xc):
         """ext element stored as two base columns: re + u·im."""
@@ -983,9 +1058,12 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     k_pow = [one_x]
 
     def comb(cs, acc):
-        for c in cs:
-            acc = mb.xadd(acc, mb.xmul(k_pow[0], c))
-            k_pow[0] = mb.xmul(k_pow[0], alpha)
+        for g in cs:
+            # grouped constraints flatten in stack order — the same α-power
+            # order the prover's _combine assigns to the group axis
+            for c in (g if isinstance(g, GX) else [g]):
+                acc = mb.xadd(acc, mb.xmul(k_pow[0], c))
+                k_pow[0] = mb.xmul(k_pow[0], alpha)
         return acc
 
     zero_x = (zero, zero)
@@ -1040,6 +1118,19 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         off4 = mb.xmul(off3, pwa)              # β^{2C+2A}
     else:
         off3 = off4 = off2
+    if has_consts:
+        pwc = one_x
+        S_cz = zero_x
+        S_cgz = zero_x
+        for c in range(n_consts):
+            S_cz = mb.xadd(S_cz, mb.xmul(pwc, cz[c]))
+            S_cgz = mb.xadd(S_cgz, mb.xmul(pwc, cgz[c]))
+            pwc = mb.xmul(pwc, beta)
+        off_cz = off4                          # β^{2C+2A}
+        off_cgz = mb.xmul(off_cz, pwc)         # β^{2C+2A+Cc}
+        off_q = mb.xmul(off_cgz, pwc)          # β^{2C+2A+2Cc}
+    else:
+        off_cz = off_cgz = off_q = off4
     pwq = one_x
     S_q = zero_x
     for i in range(n_chunks):
@@ -1060,6 +1151,11 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         arb = _np_int(proof.aux_rows_b)
         apa = _np_int(proof.aux_paths_a)
         apb = _np_int(proof.aux_paths_b)
+    if has_consts:
+        cra = _np_int(proof.const_rows_a)
+        crb = _np_int(proof.const_rows_b)
+        cpa = _np_int(proof.const_paths_a)
+        cpb = _np_int(proof.const_paths_b)
     fri_leaves = [_np_int(x) for x in proof.fri_proof.query_leaves]
     fri_paths = [_np_int(x) for x in proof.fri_proof.query_paths]
 
@@ -1159,6 +1255,10 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
                 a_cells, Ta = leaf_commit_and_sum(ara[qi] if side == 0
                                                   else arb[qi], beta)
                 walk_path(apa[qi] if side == 0 else apb[qi], pbits, aux_cap)
+            if has_consts:
+                c_cells, Tc = leaf_commit_and_sum(cra[qi] if side == 0
+                                                  else crb[qi], beta)
+                walk_path(cpa[qi] if side == 0 else cpb[qi], pbits, vk_cap)
             q_cells, _ = leaf_commit_and_sum(q_rows[qi])
             walk_path(q_paths[qi], pbits, quot_cap)
             # quotient chunk values are ext pairs of base columns
@@ -1178,7 +1278,13 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
                 F = mb.xadd(F, mb.xmul(off3,
                                        mb.xmul(mb.xsub(Ta, S_agz),
                                                inv_xgz)))
-            F = mb.xadd(F, mb.xmul(off4,
+            if has_consts:
+                F = mb.xadd(F, mb.xmul(off_cz,
+                                       mb.xmul(mb.xsub(Tc, S_cz), inv_xz)))
+                F = mb.xadd(F, mb.xmul(off_cgz,
+                                       mb.xmul(mb.xsub(Tc, S_cgz),
+                                               inv_xgz)))
+            F = mb.xadd(F, mb.xmul(off_q,
                                    mb.xmul(mb.xsub(Tq, S_q), inv_xz)))
             leaf_val = ((leafs[0][0], leafs[0][1]) if side == 0
                         else (leafs[0][2], leafs[0][3]))

@@ -111,6 +111,9 @@ def empty_proof_like_shapes(air, config, log_n: int):
     n_lk = len(air.lookup_range_columns())
     has_lk = n_lk > 0
     n_aux = pv.num_aux_cols(n_lk) if has_lk else 0
+    import numpy as _np
+    n_consts = _np.asarray(air.constant_columns(1 << log_n)).shape[0]
+    has_consts = n_consts > 0
     from .prover import StarkProof
     return StarkProof(
         trace_cap=fp(cap, 4), quotient_cap=fp(cap, 4),
@@ -127,6 +130,12 @@ def empty_proof_like_shapes(air, config, log_n: int):
         aux_rows_b=fp(q, n_aux) if has_lk else None,
         aux_paths_a=fp(q, depth, 4) if has_lk else None,
         aux_paths_b=fp(q, depth, 4) if has_lk else None,
+        const_zeta=fp2(n_consts) if has_consts else None,
+        const_gzeta=fp2(n_consts) if has_consts else None,
+        const_rows_a=fp(q, n_consts) if has_consts else None,
+        const_rows_b=fp(q, n_consts) if has_consts else None,
+        const_paths_a=fp(q, depth, 4) if has_consts else None,
+        const_paths_b=fp(q, depth, 4) if has_consts else None,
     )
 
 

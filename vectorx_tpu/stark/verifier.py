@@ -32,8 +32,14 @@ from .prover import (StarkConfig, StarkProof, _alpha_power_array, _broadcast_ext
 P = gl.MODULUS
 
 
-def _ali_phase_fn(air: Air, log_n: int, has_lk: bool):
-    """Build the traceable ALI-at-ζ check for one AIR/shape."""
+def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
+    """Build the traceable ALI-at-ζ check for one AIR/shape.
+
+    Constant columns arrive as OPENED values (const_zeta/const_gzeta) —
+    bound to the preprocessed-constant VK through DEEP + Merkle membership
+    (prover.constant_vk), never barycentric-evaluated here. This is what
+    lets the in-AIR recursive verifier (recursion_air.py) run the same
+    check in O(num_consts) rows instead of O(n)."""
     n = 1 << log_n
     num_cols = air.num_cols
     n_chunks = num_quotient_chunks(air)
@@ -41,18 +47,12 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool):
     g_last = pow(g_dom, n - 1, P)
 
     def fn(trace_zeta, trace_gzeta, quotient_zeta, aux_zeta, aux_gzeta,
-           publics, alpha, zeta, gamma, cfp):
+           publics, alpha, zeta, gamma, const_zeta, const_gzeta):
         alg = ExtAlgebra()
         local = [_pick_ext(trace_zeta, c) for c in range(num_cols)]
         nxt = [_pick_ext(trace_gzeta, c) for c in range(num_cols)]
-        if cfp is not None:
-            g_zeta_pt = ext.mul_base(zeta, gl.full((), g_dom))
-            cz = pdom.barycentric_eval(cfp, zeta, log_n)
-            cgz = pdom.barycentric_eval(cfp, g_zeta_pt, log_n)
-            consts = [_pick_ext(cz, i) for i in range(cfp[0].shape[0])]
-            consts_next = [_pick_ext(cgz, i) for i in range(cfp[0].shape[0])]
-        else:
-            consts, consts_next = [], []
+        consts = [_pick_ext(const_zeta, i) for i in range(n_consts)]
+        consts_next = [_pick_ext(const_gzeta, i) for i in range(n_consts)]
         ct = air.transition(alg, local, nxt, publics, consts, consts_next)
         cf = air.first_row(alg, local, publics, consts)
         cl = air.last_row(alg, local, publics, consts)
@@ -155,23 +155,26 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool):
 
 
 def _ali_phase(air: Air, log_n: int, proof: StarkProof, publics, alpha,
-               zeta, gamma, cfp) -> jax.Array:
+               zeta, gamma, n_consts: int) -> jax.Array:
     from .prover import phase_jit_enabled
     has_lk = len(air.lookup_range_columns()) > 0
     cache = air.__dict__.setdefault("_vx_vjit", {})
     key = (log_n, len(publics), phase_jit_enabled())
     if key not in cache:
-        fn = _ali_phase_fn(air, log_n, has_lk)
+        fn = _ali_phase_fn(air, log_n, has_lk, n_consts)
         cache[key] = jax.jit(fn) if phase_jit_enabled() else fn
+    dummy = ((jnp.zeros((0,), jnp.uint32),) * 2,) * 2
+    cz = proof.const_zeta if n_consts else dummy
+    cgz = proof.const_gzeta if n_consts else dummy
     if has_lk:
         return cache[key](proof.trace_zeta, proof.trace_gzeta,
                           proof.quotient_zeta, proof.aux_zeta,
-                          proof.aux_gzeta, publics, alpha, zeta, gamma, cfp)
+                          proof.aux_gzeta, publics, alpha, zeta, gamma,
+                          cz, cgz)
     unit = ext.zeros(())
-    dummy = ((jnp.zeros((0,), jnp.uint32),) * 2,) * 2
     return cache[key](proof.trace_zeta, proof.trace_gzeta,
                       proof.quotient_zeta, dummy, dummy,
-                      publics, alpha, zeta, unit, cfp)
+                      publics, alpha, zeta, unit, cz, cgz)
 
 
 def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
@@ -189,9 +192,18 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
     q = config.num_queries
 
+    # -- preprocessed-constant VK: recomputed from the AIR itself (cached),
+    # NEVER read from the proof ------------------------------------------
+    from .prover import constant_vk
+    vk = constant_vk(air, log_n, config)
+    has_consts = vk is not None
+    n_consts = vk[2][0].shape[0] if has_consts else 0
+
     # -- transcript replay -------------------------------------------------
     challenger.observe((jnp.stack([p[0] for p in publics]),
                         jnp.stack([p[1] for p in publics])))
+    if has_consts:
+        challenger.observe_digests(vk[0].cap)
     challenger.observe_digests(proof.trace_cap)
 
     lk_cols = air.lookup_range_columns()
@@ -218,6 +230,9 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     if has_lk:
         obs_ext(proof.aux_zeta)
         obs_ext(proof.aux_gzeta)
+    if has_consts:
+        obs_ext(proof.const_zeta)
+        obs_ext(proof.const_gzeta)
     obs_ext(proof.quotient_zeta)
     beta = challenger.squeeze_ext(1)
     beta = ((beta[0][0][0], beta[0][1][0]), (beta[1][0][0], beta[1][1][0]))
@@ -225,9 +240,8 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     # -- 1: ALI consistency at ζ (ONE jitted program per air/shape — the
     # eager scalar version costs thousands of tiny dispatches) -------------
     import numpy as np
-    cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
-    cfp = gl.to_fp(cvals) if cvals.shape[0] else None
-    ok = _ali_phase(air, log_n, proof, publics, alpha, zeta, gamma, cfp)
+    ok = _ali_phase(air, log_n, proof, publics, alpha, zeta, gamma,
+                    n_consts)
     import os as _os
     if _os.environ.get("VX_VERIFY_DEBUG"):
         print("ALI:", bool(ok))
@@ -255,16 +269,22 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
                              proof.aux_paths_a)
         ok = ok & check_rows(proof.aux_cap, idx_b, proof.aux_rows_b,
                              proof.aux_paths_b)
+    if has_consts:
+        # membership against the verifier's OWN (recomputed) VK cap
+        ok = ok & check_rows(vk[0].cap, idx_a, proof.const_rows_a,
+                             proof.const_paths_a)
+        ok = ok & check_rows(vk[0].cap, idx_b, proof.const_rows_b,
+                             proof.const_paths_b)
 
     # -- 3: DEEP composition recomputation at query points ------------------
     x_all = pdom.domain_points(log_n_lde, shift)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
 
     n_aux = proof.aux_zeta[0][0].shape[0] if has_lk else 0
-    n_terms = 2 * num_cols + 2 * n_aux + n_chunks
+    n_terms = 2 * num_cols + 2 * n_aux + 2 * n_consts + n_chunks
     betas_arr = _alpha_power_array(beta, n_terms)
 
-    def deep_at(idx, trace_rows, quot_rows, aux_rows):
+    def deep_at(idx, trace_rows, quot_rows, aux_rows, const_rows):
         x = (x_all[0][idx], x_all[1][idx])            # (q,) base
         xe = ext.from_base(x)
         inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, q)))
@@ -289,6 +309,18 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
                 ext.mul(diff_agz, _ext_row(inv_xgz)),
                 _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
             kbase += 2 * n_aux
+        if has_consts:
+            cv = ext.from_base((const_rows[0].T, const_rows[1].T))  # (Cc, q)
+            diff_cz = ext.sub(cv, _ext_col(proof.const_zeta))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(diff_cz, _ext_row(inv_xz)),
+                _slice_ext(betas_arr, kbase, kbase + n_consts)))
+            diff_cgz = ext.sub(cv, _ext_col(proof.const_gzeta))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(diff_cgz, _ext_row(inv_xgz)),
+                _slice_ext(betas_arr, kbase + n_consts,
+                           kbase + 2 * n_consts)))
+            kbase += 2 * n_consts
         qv = ((quot_rows[0][:, 0::2].T, quot_rows[1][:, 0::2].T),
               (quot_rows[0][:, 1::2].T, quot_rows[1][:, 1::2].T))  # (chunks, q)
         diff_q = ext.sub(qv, _ext_col(proof.quotient_zeta))
@@ -297,9 +329,9 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
         return F
 
     F_a = deep_at(idx_a, proof.trace_rows_a, proof.quot_rows_a,
-                  proof.aux_rows_a)
+                  proof.aux_rows_a, proof.const_rows_a)
     F_b = deep_at(idx_b, proof.trace_rows_b, proof.quot_rows_b,
-                  proof.aux_rows_b)
+                  proof.aux_rows_b, proof.const_rows_b)
     if _os.environ.get("VX_VERIFY_DEBUG"):
         print("FRI:", bool(fri_ok), "after merkle:", bool(ok),
               "deep_a:", bool(jnp.all(ext.eq(F_a, a_vals))),
