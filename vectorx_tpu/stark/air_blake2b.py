@@ -785,16 +785,40 @@ class Blake2bVarAir(Blake2bAir):
     # ------------------------------------------------------------------
 
     def make_trace(self, msg: bytes):
-        """msg: 1..128*max_chunks bytes. -> (trace, publics[9], digest)."""
+        """msg: 1..128*max_chunks bytes. -> (trace, publics[9], digest).
+
+        The sequential Blake2b recurrence runs on Python ints (one G per
+        row — cheap); column EXPANSION (bit families, word halves) is
+        vectorized numpy uint64 over all rows at once. The earlier
+        per-row object loop wrote ~750 cells/row and cost ~580 s for a
+        64-chunk header on this host (PROD_SIZES.json round 2)."""
         length = len(msg)
         assert 1 <= length <= 128 * self.max_chunks
         n_chunks = max(1, (length + 127) // 128)
         buf = msg + b"\x00" * (128 * self.num_blocks - length)
+        n = self.n_rows
+        nb = self.num_blocks
 
-        cols = np.zeros((V_NUM_COLS, self.n_rows), dtype=np.object_)
+        v_rows = np.zeros((n, 16), dtype=np.uint64)
+        h_rows = np.zeros((n, 8), dtype=np.uint64)
+        m_blk = np.zeros((nb, 16), dtype=np.uint64)
+        t_blk = np.zeros(nb, dtype=np.uint64)
+        act_blk = np.zeros(nb, dtype=np.uint64)
+        lst_blk = np.zeros(nb, dtype=np.uint64)
+        rdf_blk = np.zeros(nb, dtype=np.uint64)
+        REGS = ("rd", "rb", "a1", "c1", "a2", "c2", "d2", "b2", "rh", "bx")
+        regs = {k: [0] * n for k in REGS}
+        car = [[0] * n for _ in range(12)]
+
+        def halves_add(*terms):
+            slo = sum(tt & M32 for tt in terms)
+            clo = slo >> 32
+            shi = sum(tt >> 32 for tt in terms) + clo
+            chi = shi >> 32
+            return ((slo & M32) | ((shi & M32) << 32)), clo, chi
+
         h = list(H_INIT)
-
-        for blk in range(self.num_blocks):
+        for blk in range(nb):
             r0 = blk * N_ROWS
             active = blk < n_chunks
             is_last = blk == n_chunks - 1
@@ -806,26 +830,17 @@ class Blake2bVarAir(Blake2bAir):
             v.append(int(_IV[5]))
             v.append(int(_IV[6]) ^ (M64 if is_last else 0))
             v.append(int(_IV[7]))
-            rdiff = (length - 128 * blk - 1) if is_last else 0
+            m_blk[blk] = m
+            t_blk[blk] = t
+            act_blk[blk] = 1 if active else 0
+            lst_blk[blk] = 1 if is_last else 0
+            rdf_blk[blk] = (length - 128 * blk - 1) if is_last else 0
 
             hrow = list(h)
             for rr in range(N_ROWS):
                 r = r0 + rr
-                for p in range(16):
-                    cols[V + 2 * p, r] = v[p] & M32
-                    cols[V + 2 * p + 1, r] = v[p] >> 32
-                    cols[MW + 2 * p, r] = m[p] & M32
-                    cols[MW + 2 * p + 1, r] = m[p] >> 32
-                for i in range(32):
-                    cols[T + i, r] = (t >> i) & 1
-                for j in range(8):
-                    cols[H + 2 * j, r] = hrow[j] & M32
-                    cols[H + 2 * j + 1, r] = hrow[j] >> 32
-                cols[ACT, r] = 1 if active else 0
-                cols[LST, r] = 1 if is_last else 0
-                for i in range(7):
-                    cols[RNG7 + i, r] = (rdiff >> i) & 1
-
+                v_rows[r] = v
+                h_rows[r] = hrow
                 if rr < N_G_ROWS:
                     rnd, g = rr // 8, rr % 8
                     qa, qb, qc, qd = _quad(g)
@@ -841,13 +856,6 @@ class Blake2bVarAir(Blake2bAir):
                 else:
                     ra = rb_ = rc = rd = x = y = rh = 0
 
-                def halves_add(*terms):
-                    slo = sum(tt & M32 for tt in terms)
-                    clo = slo >> 32
-                    shi = sum(tt >> 32 for tt in terms) + clo
-                    chi = shi >> 32
-                    return ((slo & M32) | ((shi & M32) << 32)), clo, chi
-
                 a1, ca1lo, ca1hi = halves_add(ra, rb_, x)
                 d1 = _rotr64(rd ^ a1, 32)
                 c1, cc1lo, cc1hi = halves_add(rc, d1)
@@ -857,24 +865,14 @@ class Blake2bVarAir(Blake2bAir):
                 c2, cc2lo, cc2hi = halves_add(c1, d2)
                 b2 = _rotr64(b1 ^ c2, 63)
                 bxv = rh ^ rd ^ rb_
-
-                for i in range(64):
-                    cols[BD + i, r] = (rd >> i) & 1
-                    cols[BB + i, r] = (rb_ >> i) & 1
-                    cols[BA1 + i, r] = (a1 >> i) & 1
-                    cols[BC1 + i, r] = (c1 >> i) & 1
-                    cols[BA2 + i, r] = (a2 >> i) & 1
-                    cols[BC2 + i, r] = (c2 >> i) & 1
-                    cols[BD2 + i, r] = (d2 >> i) & 1
-                    cols[BB2 + i, r] = (b2 >> i) & 1
-                    cols[BH + i, r] = (rh >> i) & 1
-                    cols[BX + i, r] = (bxv >> i) & 1
-                carry_bits = [ca1lo & 1, ca1lo >> 1, ca1hi & 1, ca1hi >> 1,
-                              cc1lo, cc1hi,
-                              ca2lo & 1, ca2lo >> 1, ca2hi & 1, ca2hi >> 1,
-                              cc2lo, cc2hi]
-                for i, cb in enumerate(carry_bits):
-                    cols[CR + i, r] = cb
+                for k, val in zip(REGS, (rd, rb_, a1, c1, a2, c2, d2, b2,
+                                         rh, bxv)):
+                    regs[k][r] = val
+                for i, cb in enumerate((ca1lo & 1, ca1lo >> 1, ca1hi & 1,
+                                        ca1hi >> 1, cc1lo, cc1hi,
+                                        ca2lo & 1, ca2lo >> 1, ca2hi & 1,
+                                        ca2hi >> 1, cc2lo, cc2hi)):
+                    car[i][r] = cb
 
                 if rr < N_G_ROWS:
                     v[qa], v[qb], v[qc], v[qd] = a2, b2, c2, d2
@@ -884,9 +882,44 @@ class Blake2bVarAir(Blake2bAir):
             if active:
                 h = hrow
 
+        # -- vectorized column expansion ----------------------------------
+        cols = np.zeros((V_NUM_COLS, n), dtype=np.uint64)
+        u32 = np.uint64(32)
+        mm32 = np.uint64(M32)
+        one = np.uint64(1)
+        idx16 = 2 * np.arange(16)
+        vT = v_rows.T                                    # (16, n)
+        cols[V + idx16] = vT & mm32
+        cols[V + idx16 + 1] = vT >> u32
+        mT = np.repeat(m_blk, N_ROWS, axis=0).T          # (16, n)
+        cols[MW + idx16] = mT & mm32
+        cols[MW + idx16 + 1] = mT >> u32
+        t_rows = np.repeat(t_blk, N_ROWS)
+        sh32 = np.arange(32, dtype=np.uint64)[:, None]
+        cols[T:T + 32] = (t_rows[None, :] >> sh32) & one
+        idx8 = 2 * np.arange(8)
+        hT = h_rows.T                                    # (8, n)
+        cols[H + idx8] = hT & mm32
+        cols[H + idx8 + 1] = hT >> u32
+        cols[ACT] = np.repeat(act_blk, N_ROWS)
+        cols[LST] = np.repeat(lst_blk, N_ROWS)
+        sh7 = np.arange(7, dtype=np.uint64)[:, None]
+        cols[RNG7:RNG7 + 7] = (np.repeat(rdf_blk, N_ROWS)[None, :]
+                               >> sh7) & one
+        sh64 = np.arange(64, dtype=np.uint64)[:, None]
+        for base, k in ((BD, "rd"), (BB, "rb"), (BA1, "a1"), (BC1, "c1"),
+                        (BA2, "a2"), (BC2, "c2"), (BD2, "d2"), (BB2, "b2"),
+                        (BH, "rh"), (BX, "bx")):
+            arr = np.array(regs[k], dtype=np.uint64)
+            cols[base:base + 64] = (arr[None, :] >> sh64) & one
+        for i in range(12):
+            cols[CR + i] = np.array(car[i], dtype=np.uint64)
+
         digest = b"".join(h[j].to_bytes(8, "little") for j in range(4))
         publics = [length]
         for j in range(4):
             publics += [h[j] & M32, h[j] >> 32]
-        trace = gl.to_fp(cols)
+        import jax.numpy as jnp
+        trace = (jnp.asarray((cols & mm32).astype(np.uint32)),
+                 jnp.asarray((cols >> u32).astype(np.uint32)))
         return trace, publics, digest
