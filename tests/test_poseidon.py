@@ -22,9 +22,23 @@ def test_constants_sane():
     assert len(set(flat)) == len(flat)  # no repeats (overwhelmingly likely)
 
     m = ps.mds_matrix()
-    # Cauchy matrix: check a few determinant minors are nonzero (MDS spot check)
-    a, b, c, d = m[0][0], m[0][1], m[1][0], m[1][1]
-    assert (a * d - b * c) % P != 0
+    # power-of-two circulant: exhaustively MDS-verified offline
+    # (scripts/verify_mds.py, all 2.7M square submatrices); here re-check
+    # every minor up to 3x3 as a fast regression guard on the row values
+    import itertools
+    for k in (1, 2, 3):
+        for rs in itertools.combinations(range(12), k):
+            for cs in itertools.combinations(range(12), k):
+                sub = [[m[r][c] for c in cs] for r in rs]
+                if k == 1:
+                    det = sub[0][0]
+                elif k == 2:
+                    det = sub[0][0] * sub[1][1] - sub[0][1] * sub[1][0]
+                else:
+                    det = (sub[0][0] * (sub[1][1] * sub[2][2] - sub[1][2] * sub[2][1])
+                           - sub[0][1] * (sub[1][0] * sub[2][2] - sub[1][2] * sub[2][0])
+                           + sub[0][2] * (sub[1][0] * sub[2][1] - sub[1][1] * sub[2][0]))
+                assert det % P != 0, (rs, cs)
 
 
 def test_permutation_matches_oracle():

