@@ -563,3 +563,39 @@ class TestHintWiredFetch:
 
         rot, rec = fetch_rotate_witness(Source(), 7)
         assert rot[0] == 25 and rec == {"block": 25}
+
+
+def test_golden_dummy_fixtures_offline():
+    """Offline slice of the reference's pinned golden vectors
+    (dummy_header_range.rs:63-76, dummy_rotate.rs:40-53): the full
+    input→output recompute needs live Avail chain data for blocks
+    246150..246330 (the reference repo itself ships no chain fixtures —
+    its own test is `#[cfg_attr(feature = "ci", ignore)]`-gated the same
+    way). What IS derivable offline and asserted here:
+
+    - input parsing: every field of both golden inputs decodes to the
+      documented reference values (byte offsets/endianness parity);
+    - output ABI: the golden 96-byte output splits into the three 32-byte
+      components and re-encodes byte-identically (concatenation parity
+      with DummyHeaderRange::run's output builder)."""
+    from vectorx_tpu.circuits.abi import (HeaderRangeInput,
+                                          HeaderRangeOutput, RotateInput)
+
+    inp = HeaderRangeInput.decode(bytes.fromhex(GOLDEN_HR_INPUT))
+    assert inp.trusted_block == 0x0003C186 == 246150
+    assert inp.target_block == 0x0003C23A == 246330
+    assert inp.authority_set_id == 0x75
+    assert inp.trusted_header_hash.hex() == (
+        "95f303b01e4834da35e5fdc3971fe297d1b48feb0c3f330491639136a6ada598")
+    assert inp.authority_set_hash.hex() == GOLDEN_HR_INPUT[88:152]
+
+    out = HeaderRangeOutput.decode(bytes.fromhex(GOLDEN_HR_OUTPUT))
+    assert out.target_header_hash.hex() == GOLDEN_HR_OUTPUT[0:64]
+    assert out.state_root_commitment.hex() == GOLDEN_HR_OUTPUT[64:128]
+    assert out.data_root_commitment.hex() == GOLDEN_HR_OUTPUT[128:192]
+    assert out.encode().hex() == GOLDEN_HR_OUTPUT
+
+    rot = RotateInput.decode(bytes.fromhex(GOLDEN_ROT_INPUT)[:40])
+    assert rot.authority_set_id == 0x75
+    assert rot.authority_set_hash.hex() == GOLDEN_ROT_INPUT[16:80]
+    assert len(bytes.fromhex(GOLDEN_ROT_OUTPUT)) == 32
