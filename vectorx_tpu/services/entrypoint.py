@@ -279,7 +279,10 @@ def _program_airs(program: str, tree_size: int, max_chunks: int,
     def leaf_words(leaf: bytes):
         return [int.from_bytes(leaf[i:i + 4], "big") for i in range(0, 32, 4)]
 
+    from ..stark.air_sha512 import Sha512ChallengeAir
+
     ed_air = Ed25519VerifyAir([dummy_sig()] * (1 << (ed_B - 8)), B=ed_B)
+    sha512_air = Sha512ChallengeAir([], bytes(53), B=ed_B)
     chain_air = ChainedSha256Air(max_authorities)
     if program == "header_range":
         return {
@@ -288,12 +291,14 @@ def _program_airs(program: str, tree_size: int, max_chunks: int,
                 [leaf_words(bytes(32))] * tree_size),
             "authority_chain": chain_air,
             "ed25519_shard": ed_air,
+            "sha512_challenge_shard": sha512_air,
         }
     if program == "rotate":
         return {
             "rotate_header": RotateHeaderAir(max_chunks),
             "authority_chain": chain_air,
             "ed25519_shard": ed_air,
+            "sha512_challenge_shard": sha512_air,
         }
     raise SystemExit(f"no circuit artifacts for program: {program}")
 
@@ -398,6 +403,10 @@ def _probe_trace(air):
     if isinstance(air, Ed25519VerifyAir):
         trace, _ = air.make_trace_vec()
         return trace, air.publics_list()
+    from ..stark.air_sha512 import Sha512ChallengeAir
+    if isinstance(air, Sha512ChallengeAir):
+        trace, publics = air.make_trace()
+        return trace, publics
     return None
 
 

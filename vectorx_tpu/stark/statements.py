@@ -103,6 +103,10 @@ class HeaderRangeStarkProof:
     shard_sigs: List[List[Sig]]       # per-lane (A, R, s, h)
     sig_publics: List[List[int]]
     sig_proofs: List[StarkProof]
+    # in-STARK challenge binding: h = SHA-512(R‖A‖M) mod L per lane
+    # (air_sha512.Sha512ChallengeAir over the SAME shard lane tuples)
+    sha512_publics: List[List[int]]
+    sha512_proofs: List[StarkProof]
     chain_publics: List[int]
     chain_proof: StarkProof
 
@@ -216,6 +220,9 @@ def prove_header_range(
         sig_publics.append(publics)
         shard_list.append(list(air.sigs))
 
+    sha_publics, sha_proofs = _prove_challenge_shards(
+        shard_list, message, ed_B, config, cp, put)
+
     return HeaderRangeStarkProof(
         tree_size=tree_size, max_chunks=max_chunks,
         max_authorities=max_authorities, ed_B=ed_B,
@@ -225,7 +232,47 @@ def prove_header_range(
         authorities=list(authorities), signed=signed, round_=round_,
         shard_sigs=shard_list, sig_publics=sig_publics,
         sig_proofs=sig_proofs,
+        sha512_publics=sha_publics, sha512_proofs=sha_proofs,
         chain_publics=list(chain_pub), chain_proof=chain_prf)
+
+
+def _prove_challenge_shards(shard_list, message: bytes, ed_B: int,
+                            config: StarkConfig, cp, put):
+    """One Sha512ChallengeAir proof per signature shard: every lane's
+    h = SHA-512(R‖A‖M) mod L proven in-STARK (the reference's Curta EdDSA
+    computes the challenge the same way, justification.rs:237-243)."""
+    from .air_sha512 import Sha512ChallengeAir
+    publics_l, proofs = [], []
+    for i, shard in enumerate(shard_list):
+        air = Sha512ChallengeAir(shard, message, B=ed_B)
+        parts = (_sig_ckpt_bytes(shard), message, b"sha512",
+                 str(ed_B).encode())
+        hit = cp.load("sha512", config, parts, air)
+        if hit is not None:
+            proof, publics = hit
+        else:
+            trace, publics = air.make_trace()
+            trace_d, pubs_d = put(i, trace, _pubs_fp(publics))
+            proof = prover.prove(air, trace_d, pubs_d, config)
+            cp.store("sha512", config, parts, proof, publics)
+        proofs.append(proof)
+        publics_l.append(list(publics))
+    return publics_l, proofs
+
+
+def _verify_challenge_shards(bundle, message: bytes,
+                             config: StarkConfig) -> None:
+    from .air_sha512 import Sha512ChallengeAir
+    _check(len(bundle.sha512_proofs) == len(bundle.sha512_publics)
+           == len(bundle.shard_sigs), "sha512 shard counts")
+    for i, shard in enumerate(bundle.shard_sigs):
+        air = Sha512ChallengeAir(shard, message, B=bundle.ed_B)
+        _check([int(p) for p in bundle.sha512_publics[i]]
+               == air.publics_list(), f"sha512 shard {i} publics")
+        _check(bool(verifier.verify(air, bundle.sha512_proofs[i],
+                                    _pubs_fp(bundle.sha512_publics[i]),
+                                    bundle.ed_B, config)),
+               f"sha512 shard {i} proof")
 
 
 def verify_header_range(
@@ -320,13 +367,17 @@ def verify_header_range(
                                 chain_air.n_rows.bit_length() - 1, config)),
            "authority-chain proof")
     _verify_sig_shards(bundle, config)
+    _verify_challenge_shards(bundle, message, config)
 
     return target_hash, state_commit, data_commit
 
 
 def _check_lanes(bundle, message: bytes) -> None:
-    """Host checks on the signature lanes: signer-set membership, challenge
-    recomputation, canonical s, dummy padding, 2/3 threshold."""
+    """Host checks on the signature lanes: signer-set membership,
+    canonical s, dummy padding, 2/3 threshold. The CHALLENGE
+    h = SHA-512(R‖A‖M) mod L is no longer recomputed here — it is proven
+    in-STARK per shard (air_sha512.Sha512ChallengeAir, verified by
+    _verify_challenge_shards over the same lane tuples)."""
     n_auth = len(bundle.authorities)
     _check(len(bundle.signed) == n_auth, "signed flags length")
     lanes = [sig for shard in bundle.shard_sigs for sig in shard]
@@ -339,9 +390,6 @@ def _check_lanes(bundle, message: bytes) -> None:
             n_signed += 1
             _check(a == bundle.authorities[i], f"lane {i} pubkey")
             _check(0 <= s < L_ORDER, f"lane {i} malleable s")
-            want_h = int.from_bytes(
-                hashlib.sha512(r + a + message).digest(), "little") % L_ORDER
-            _check(h == want_h, f"lane {i} challenge")
         else:
             _check((a, r, s, h) == dmy, f"lane {i} must be dummy")
     _check(n_signed * 3 > n_auth * 2, "2/3 threshold")
@@ -383,6 +431,8 @@ class RotateStarkProof:
     shard_sigs: List[List[Sig]]
     sig_publics: List[List[int]]
     sig_proofs: List[StarkProof]
+    sha512_publics: List[List[int]]
+    sha512_proofs: List[StarkProof]
     cur_chain_publics: List[int]
     cur_chain_proof: StarkProof
     # commitment of the NEW set (rotate.rs:319-322)
@@ -469,6 +519,9 @@ def prove_rotate(
         sig_publics.append(pub)
         shard_list.append(list(air.sigs))
 
+    sha_publics, sha_proofs = _prove_challenge_shards(
+        shard_list, message, ed_B, config, cp, put)
+
     return RotateStarkProof(
         max_chunks=max_chunks, max_authorities=max_authorities, ed_B=ed_B,
         epoch_end_block=epoch_end_block,
@@ -477,6 +530,7 @@ def prove_rotate(
         authorities=list(authorities), signed=signed, round_=round_,
         shard_sigs=shard_list, sig_publics=sig_publics,
         sig_proofs=sig_proofs,
+        sha512_publics=sha_publics, sha512_proofs=sha_proofs,
         cur_chain_publics=cur_pub, cur_chain_proof=cur_prf,
         new_chain_publics=new_pub, new_chain_proof=new_prf)
 
@@ -536,6 +590,7 @@ def verify_rotate(
                                 _pubs_fp(bundle.new_chain_publics),
                                 log_c, config)), "new chain proof")
     _verify_sig_shards(bundle, config)
+    _verify_challenge_shards(bundle, message, config)
     return new_hash
 
 
@@ -592,6 +647,16 @@ def _like(air, config):
                                         air.n_rows.bit_length() - 1)
 
 
+def _deser_challenge_proofs(blobs, shard_sigs_l, meta, config):
+    """sha512 proof templates depend only on (B,) — shapes are lane/
+    message independent — so a placeholder instance serves as `like`."""
+    from .air_sha512 import Sha512ChallengeAir
+    like_s = _like(Sha512ChallengeAir([], bytes(53), B=meta["ed_B"]),
+                   config)
+    return [_ser.deserialize_proof(blobs[i], like_s)
+            for i in range(len(shard_sigs_l))]
+
+
 def serialize_header_range(bundle: HeaderRangeStarkProof,
                            config: StarkConfig) -> bytes:
     meta = dict(
@@ -608,11 +673,14 @@ def serialize_header_range(bundle: HeaderRangeStarkProof,
         shard_sigs=[[_sig_to_json(s) for s in sh]
                     for sh in bundle.shard_sigs],
         sig_publics=[[int(p) for p in ps] for ps in bundle.sig_publics],
+        sha512_publics=[[int(p) for p in ps]
+                        for ps in bundle.sha512_publics],
         chain_publics=[int(p) for p in bundle.chain_publics],
     )
     proofs = (list(bundle.header_proofs)
               + [bundle.state_merkle_proof, bundle.data_merkle_proof,
-                 bundle.chain_proof] + list(bundle.sig_proofs))
+                 bundle.chain_proof] + list(bundle.sig_proofs)
+              + list(bundle.sha512_proofs))
     return _pack(meta, proofs)
 
 
@@ -646,6 +714,8 @@ def deserialize_header_range(data: bytes) -> Tuple[HeaderRangeStarkProof,
     for i, sh in enumerate(shard_sigs_l):
         like_e = _like(Ed25519VerifyAir(sh, B=meta["ed_B"]), config)
         sig_proofs.append(_ser.deserialize_proof(blobs[n + 3 + i], like_e))
+    sha_proofs = _deser_challenge_proofs(
+        blobs[n + 3 + len(shard_sigs_l):], shard_sigs_l, meta, config)
 
     return HeaderRangeStarkProof(
         tree_size=ts, max_chunks=meta["max_chunks"],
@@ -660,6 +730,7 @@ def deserialize_header_range(data: bytes) -> Tuple[HeaderRangeStarkProof,
         signed=list(meta["signed"]), round_=meta["round"],
         shard_sigs=shard_sigs_l, sig_publics=meta["sig_publics"],
         sig_proofs=sig_proofs,
+        sha512_publics=meta["sha512_publics"], sha512_proofs=sha_proofs,
         chain_publics=meta["chain_publics"], chain_proof=chain_prf), config
 
 
@@ -677,11 +748,14 @@ def serialize_rotate(bundle: RotateStarkProof, config: StarkConfig) -> bytes:
         shard_sigs=[[_sig_to_json(s) for s in sh]
                     for sh in bundle.shard_sigs],
         sig_publics=[[int(p) for p in ps] for ps in bundle.sig_publics],
+        sha512_publics=[[int(p) for p in ps]
+                        for ps in bundle.sha512_publics],
         cur_chain_publics=[int(p) for p in bundle.cur_chain_publics],
         new_chain_publics=[int(p) for p in bundle.new_chain_publics],
     )
     proofs = ([bundle.header_proof, bundle.cur_chain_proof,
-               bundle.new_chain_proof] + list(bundle.sig_proofs))
+               bundle.new_chain_proof] + list(bundle.sig_proofs)
+              + list(bundle.sha512_proofs))
     return _pack(meta, proofs)
 
 
@@ -703,6 +777,8 @@ def deserialize_rotate(data: bytes) -> Tuple[RotateStarkProof, StarkConfig]:
     for i, sh in enumerate(shard_sigs_l):
         like_e = _like(Ed25519VerifyAir(sh, B=meta["ed_B"]), config)
         sig_proofs.append(_ser.deserialize_proof(blobs[3 + i], like_e))
+    sha_proofs = _deser_challenge_proofs(
+        blobs[3 + len(shard_sigs_l):], shard_sigs_l, meta, config)
 
     return RotateStarkProof(
         max_chunks=meta["max_chunks"],
@@ -714,6 +790,7 @@ def deserialize_rotate(data: bytes) -> Tuple[RotateStarkProof, StarkConfig]:
         signed=list(meta["signed"]), round_=meta["round"],
         shard_sigs=shard_sigs_l, sig_publics=meta["sig_publics"],
         sig_proofs=sig_proofs,
+        sha512_publics=meta["sha512_publics"], sha512_proofs=sha_proofs,
         cur_chain_publics=meta["cur_chain_publics"],
         cur_chain_proof=cur_prf,
         new_chain_publics=meta["new_chain_publics"],
