@@ -10,7 +10,14 @@ Run: python scripts/measure_production.py            (axon = one TPU v5e)
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_JSON = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "PROD_SIZES.json")
 
 import numpy as np
 
@@ -114,8 +121,8 @@ def measure_ed25519(B=13):
 
 if __name__ == "__main__":
     import jax, os
-    if os.path.exists("PROD_SIZES.json"):       # merge across partial runs
-        with open("PROD_SIZES.json") as f:
+    if os.path.exists(_JSON):       # merge across partial runs
+        with open(_JSON) as f:
             OUT.update(json.load(f))
     OUT["backend"] = jax.default_backend()
     # largest single-chip config: walk down until one fits. Valid chunk
@@ -151,6 +158,6 @@ if __name__ == "__main__":
         est = (256 + 2) * (h["prove_warm_s"] + h["witness_s"]) \
             + 10 * (e["prove_warm_s"] + e["witness_s"])
         OUT["header_range_256_estimate_s"] = round(est, 1)
-    with open("PROD_SIZES.json", "w") as f:
+    with open(_JSON, "w") as f:
         json.dump(OUT, f, indent=1)
     print(json.dumps(OUT), flush=True)

@@ -96,18 +96,23 @@ def test_tiled_logup_quotient_bit_exact():
     trace = gl.to_fp(vals)
     pubs = [gl.to_fp(int(vals[0, 0]))]
     cfg = prover.StarkConfig(rate_bits=1, num_queries=2, final_poly_len=4)
-    old = os.environ.get("VX_LOGUP_TILE")
+    old = {k: os.environ.get(k) for k in ("VX_LOGUP_TILE", "VX_DEEP_TILE")}
     try:
         os.environ["VX_LOGUP_TILE"] = "0"
+        os.environ["VX_DEEP_TILE"] = "0"
         p0 = prover.prove(ManyRangeAir(), trace, pubs, cfg)
+        # both HBM-lean scans on, tiny tiles (forces padding + multiple
+        # tiles): proofs must stay byte-identical
         os.environ["VX_LOGUP_TILE"] = "2"
+        os.environ["VX_DEEP_TILE"] = "4"
         air = ManyRangeAir()
         p1 = prover.prove(air, trace, pubs, cfg)
         assert bool(verifier.verify(air, p1, pubs, 4, cfg))
         assert (serialize.serialize_proof(p0)
                 == serialize.serialize_proof(p1))
     finally:
-        if old is None:
-            os.environ.pop("VX_LOGUP_TILE", None)
-        else:
-            os.environ["VX_LOGUP_TILE"] = old
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v

@@ -591,6 +591,13 @@ def _logup_tile() -> int:
     return int(os.environ.get("VX_LOGUP_TILE", "128"))
 
 
+def _deep_tile() -> int:
+    """Trace-column tile for the DEEP composition (see _deep_phase_raw).
+    VX_DEEP_TILE overrides; 0 disables tiling."""
+    import os
+    return int(os.environ.get("VX_DEEP_TILE", "256"))
+
+
 def phase_jit_enabled() -> bool:
     """Fuse whole prover/verifier phases under one jit?
 
@@ -841,36 +848,68 @@ def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, const_lde, ch_stack,
     n_terms = 2 * num_cols + 2 * n_aux + 2 * n_consts + n_chunks
     betas_arr = _alpha_power_array(beta, n_terms)
 
-    tlde_fp2 = ext.from_base(trace_lde)                      # (C, N_lde)
-    diff_z = ext.sub(tlde_fp2, _ext_col(trace_zeta))
-    F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
-                       _slice_ext(betas_arr, 0, num_cols))
-    diff_gz = ext.sub(tlde_fp2, _ext_col(trace_gzeta))
-    F = ext.add(F, _weighted_sum0(
-        ext.mul(diff_gz, _ext_row(inv_xgz)),
-        _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+    tile = _deep_tile()
+
+    def _block(F, lde, z_open, gz_open, k0, ncol):
+        """β-weighted deviation terms of one opening block (ζ block at
+        β^[k0, k0+ncol), gζ block at β^[k0+ncol, k0+2ncol)). Column
+        counts above the tile stream through a lax.scan — untiled, the
+        Ed25519VerifyAir blocks (3336 trace + 3188 aux cols) hold ~17
+        (C, N_lde) ext temps ≈ 13 GB at rate 8 (the round-3 B=13 OOM).
+        β assignment is identical (padded tail columns carry β = 0)."""
+        if not (tile and ncol > tile):
+            fp2 = ext.from_base(lde)
+            dz = ext.sub(fp2, _ext_col(z_open))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(dz, _ext_row(inv_xz)),
+                _slice_ext(betas_arr, k0, k0 + ncol)))
+            dgz = ext.sub(fp2, _ext_col(gz_open))
+            return ext.add(F, _weighted_sum0(
+                ext.mul(dgz, _ext_row(inv_xgz)),
+                _slice_ext(betas_arr, k0 + ncol, k0 + 2 * ncol)))
+        n_tiles = -(-ncol // tile)
+        padc = n_tiles * tile - ncol
+
+        def _pad_cols(fp):
+            return (jnp.pad(fp[0], ((0, padc), (0, 0))).reshape(
+                        n_tiles, tile, n_lde),
+                    jnp.pad(fp[1], ((0, padc), (0, 0))).reshape(
+                        n_tiles, tile, n_lde))
+
+        def _pad_ext1(v, kk):
+            def p(a):
+                return jnp.pad(a, (0, padc)).reshape(n_tiles, tile)
+            vv = ((p(v[0][0]), p(v[0][1])), (p(v[1][0]), p(v[1][1])))
+            bz = _slice_ext(betas_arr, kk, kk + ncol)
+            bb = ((p(bz[0][0]), p(bz[0][1])), (p(bz[1][0]), p(bz[1][1])))
+            return vv, bb
+
+        tz_t, bz_t = _pad_ext1(z_open, k0)
+        tgz_t, bgz_t = _pad_ext1(gz_open, k0 + ncol)
+
+        def body(acc, xs):
+            tl, tz, bz, tgz, bgz = xs
+            tfp2 = ext.from_base(tl)                     # (tile, N_lde)
+            dz = ext.sub(tfp2, _ext_col(tz))
+            acc = ext.add(acc, _weighted_sum0(
+                ext.mul(dz, _ext_row(inv_xz)), bz))
+            dgz = ext.sub(tfp2, _ext_col(tgz))
+            acc = ext.add(acc, _weighted_sum0(
+                ext.mul(dgz, _ext_row(inv_xgz)), bgz))
+            return acc, None
+
+        part, _ = jax.lax.scan(body, ext.zeros((n_lde,)),
+                               (_pad_cols(lde), tz_t, bz_t, tgz_t, bgz_t))
+        return ext.add(F, part)
+
+    F = _block(ext.zeros((n_lde,)), trace_lde, trace_zeta, trace_gzeta,
+               0, num_cols)
     kbase = 2 * num_cols
     if has_lk:
-        alde_fp2 = ext.from_base(aux_lde)                    # (A, N_lde)
-        diff_az = ext.sub(alde_fp2, _ext_col(aux_zeta))
-        F = ext.add(F, _weighted_sum0(
-            ext.mul(diff_az, _ext_row(inv_xz)),
-            _slice_ext(betas_arr, kbase, kbase + n_aux)))
-        diff_agz = ext.sub(alde_fp2, _ext_col(aux_gzeta))
-        F = ext.add(F, _weighted_sum0(
-            ext.mul(diff_agz, _ext_row(inv_xgz)),
-            _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
+        F = _block(F, aux_lde, aux_zeta, aux_gzeta, kbase, n_aux)
         kbase += 2 * n_aux
     if has_consts:
-        clde_fp2 = ext.from_base(const_lde)                  # (Cc, N_lde)
-        diff_cz = ext.sub(clde_fp2, _ext_col(const_zeta))
-        F = ext.add(F, _weighted_sum0(
-            ext.mul(diff_cz, _ext_row(inv_xz)),
-            _slice_ext(betas_arr, kbase, kbase + n_consts)))
-        diff_cgz = ext.sub(clde_fp2, _ext_col(const_gzeta))
-        F = ext.add(F, _weighted_sum0(
-            ext.mul(diff_cgz, _ext_row(inv_xgz)),
-            _slice_ext(betas_arr, kbase + n_consts, kbase + 2 * n_consts)))
+        F = _block(F, const_lde, const_zeta, const_gzeta, kbase, n_consts)
         kbase += 2 * n_consts
     diff_q = ext.sub(ch_stack, _ext_col(quotient_zeta))
     F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
