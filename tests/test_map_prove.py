@@ -34,14 +34,9 @@ def test_parallel_instances_across_devices():
 
 def test_map_reduce_prove_end_to_end():
     """Map shards across devices -> ONE reduce proof verifying all of
-    them + chain adjacency (the reference's MapReduce shape). Heavy
-    (in-AIR reduce over two children); gated like the other long proves."""
-    import os
-    import pytest
-    if not os.environ.get("VX_HEAVY_TESTS"):
-        pytest.skip("reduce-node prove ~10 min on the 2-core host; the "
-                    "reduce machine itself is constraint-checked in "
-                    "test_recursion_air.py on every run")
+    them + chain adjacency (the reference's MapReduce shape). The
+    heaviest default-suite prove (~minutes on the 2-core host) — kept
+    in-suite deliberately: this is the flagship aggregation path."""
     from vectorx_tpu.parallel import aggregate as agg
     cfg = prover.StarkConfig(rate_bits=1, num_queries=2, final_poly_len=4)
     n = 16

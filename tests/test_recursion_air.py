@@ -266,8 +266,14 @@ def test_two_level_recursion_constraints(inner):
     reduce trees (subchain_verification.rs:233-289's recursive shape).
 
     The level-1 outer proof uses a short FRI (final_poly_len 32) so the
-    level-2 machine stays CI-sized; the tamper variant reuses the SAME
-    trace with shifted publics (the osel pins must then fail)."""
+    level-2 machine stays as small as possible; even so the record +
+    constraint check is ~10^5 rows and runs tens of minutes on this
+    2-core host — heavy-gated (run once per round via VX_HEAVY_TESTS;
+    default CI covers phase 4 with test_const_column_inner_recursion)."""
+    import os
+    import pytest
+    if not os.environ.get("VX_HEAVY_TESTS"):
+        pytest.skip("two-level recursion: ~10^5-row machine, heavy")
     air, proof, pubs = inner
     cfg1 = prover.StarkConfig(rate_bits=1, num_queries=2,
                               final_poly_len=32)

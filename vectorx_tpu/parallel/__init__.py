@@ -1,3 +1,4 @@
-from . import aggregate, map_prove, mesh, ntt_dist, subchain
+from . import aggregate, map_prove, mesh, multihost, ntt_dist, subchain
 
-__all__ = ["aggregate", "map_prove", "mesh", "ntt_dist", "subchain"]
+__all__ = ["aggregate", "map_prove", "mesh", "multihost", "ntt_dist",
+           "subchain"]

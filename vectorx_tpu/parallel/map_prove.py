@@ -59,8 +59,10 @@ def map_reduce_prove(air: Air, traces: Sequence, publics: Sequence,
     start/end public slots; adjacent shards are linked end_i ==
     start_{i+1} inside the reduce node. Returns an aggregate.Node whose
     single proof verifies every shard and the chain adjacency (check with
-    aggregate.verify_aggregate). Current scope: lookup-free,
-    constant-free shard AIRs (see stark/RECURSION.md phase 4)."""
+    aggregate.verify_aggregate). Lookup-bearing and constant-column
+    shard AIRs are supported (phase-4 VKs); very wide statement AIRs
+    (HeaderAir/Ed25519) await the phase-5 liveness-capped recording
+    (stark/RECURSION.md)."""
     from . import aggregate as agg
     proofs = prove_many(air, traces, publics, config, devices)
     log_n = traces[0][0].shape[-1].bit_length() - 1
