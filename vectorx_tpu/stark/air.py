@@ -100,6 +100,18 @@ class Air:
     num_cols: int = 0
     max_constraint_degree: int = 3
 
+    def phase_cache_key(self):
+        """Key for sharing compiled prover/verifier phase programs ACROSS
+        AIR instances — None (default) keeps per-instance caches.
+
+        Override to a (type, shape...) tuple ONLY when every per-instance
+        difference flows through `constant_columns`/`make_trace` (i.e.
+        the constraint CODE depends solely on the shape parameters): the
+        first instance's traced program is then reused for all. Shard
+        AIRs (Ed25519VerifyAir, Sha512ChallengeAir) qualify — a 10-shard
+        production prove otherwise pays ~10x the one-time compile."""
+        return None
+
     def lookup_range_columns(self) -> List[int]:
         """Trace column indices range-checked to [0, n_rows) via LogUp.
 

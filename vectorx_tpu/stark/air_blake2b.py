@@ -471,6 +471,10 @@ class Blake2bVarAir(Blake2bAir):
     max_constraint_degree = 3
     num_cols = V_NUM_COLS
 
+    def phase_cache_key(self):
+        # header bytes flow through make_trace; constants are shape-only
+        return (type(self).__name__, self.max_chunks)
+
     def __init__(self, max_chunks: int):
         self.max_chunks = max_chunks
         nb = 1

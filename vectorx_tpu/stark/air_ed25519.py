@@ -173,6 +173,11 @@ class Ed25519VerifyAir(Air):
                 out[C11, r] = bs * bh
         return out
 
+    def phase_cache_key(self):
+        # all lane data flows through constant_columns/make_trace; the
+        # constraint program depends only on B — shards share compiles
+        return (type(self).__name__, self.B)
+
     def publics_list(self) -> List[int]:
         """[n_sigs] + 8×32-bit words of SHA-256 over the lane data (binds
         the per-lane statement into the Fiat–Shamir transcript)."""

@@ -189,6 +189,9 @@ class ChainedSha256Air(Sha256MultiBlockBase):
         self.num_blocks = num_blocks_for(n_max)
         self.n_rows = self.num_blocks * N_ROWS
 
+    def phase_cache_key(self):
+        return (type(self).__name__, self.n_max)
+
     num_cols = NUM_COLS
 
     # consts: [K_VAL, IS_ROUND, IS_SCHED, B_LAST, B_CONT, B_CHAIN, B_START,

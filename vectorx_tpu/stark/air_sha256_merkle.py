@@ -79,6 +79,11 @@ class MerkleSha256Air(Sha256MultiBlockBase):
         self.num_cols = IS + 8 + 8 * self.k   # base + IS + stack slots
         self.num_publics = 8 * n + 8
 
+    def phase_cache_key(self):
+        # leaves flow through constant_columns/make_trace only; the
+        # constraint program depends on n_leaves alone
+        return (type(self).__name__, self.n_leaves)
+
     def _stk(self, s):
         return IS + 8 + 8 * s
 

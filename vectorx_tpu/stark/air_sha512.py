@@ -164,6 +164,11 @@ class Sha512ChallengeAir(_GroupedBase):
             assert len(a) == 32 and len(r) == 32
             assert 0 <= h < (1 << (16 * 16))
 
+    def phase_cache_key(self):
+        # lane data + message flow through constant_columns/make_trace;
+        # the constraint program depends only on B — shards share compiles
+        return (type(self).__name__, self.B)
+
     # -- range-checked columns -------------------------------------------
     def lookup_range_columns(self) -> List[int]:
         return ([QB + i for i in range(34)] + [QBS + i for i in range(34)]

@@ -613,11 +613,22 @@ def phase_jit_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
+#: shared phase programs for AIRs that opt in via Air.phase_cache_key
+_SHARED_QJIT: dict = {}
+
+
+def _phase_cache(air: Air, attr: str, shared: dict) -> dict:
+    ck = air.phase_cache_key()
+    if ck is None:
+        return air.__dict__.setdefault(attr, {})
+    return shared.setdefault(ck, {})
+
+
 def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
                     publics, alpha, gamma, aux_lde):
     """Per-(air, shape) cached (optionally jitted) quotient phase."""
     has_lk = len(air.lookup_range_columns()) > 0
-    cache = air.__dict__.setdefault("_vx_qjit", {})
+    cache = _phase_cache(air, "_vx_qjit", _SHARED_QJIT)
     key = (log_n, rate, len(publics), phase_jit_enabled())
     if key not in cache:
         fn = _quotient_phase_fn(air, log_n, rate, has_lk,

@@ -154,11 +154,14 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
     return fn
 
 
+_SHARED_VJIT: dict = {}
+
+
 def _ali_phase(air: Air, log_n: int, proof: StarkProof, publics, alpha,
                zeta, gamma, n_consts: int) -> jax.Array:
-    from .prover import phase_jit_enabled
+    from .prover import phase_jit_enabled, _phase_cache
     has_lk = len(air.lookup_range_columns()) > 0
-    cache = air.__dict__.setdefault("_vx_vjit", {})
+    cache = _phase_cache(air, "_vx_vjit", _SHARED_VJIT)
     key = (log_n, len(publics), phase_jit_enabled())
     if key not in cache:
         fn = _ali_phase_fn(air, log_n, has_lk, n_consts)
