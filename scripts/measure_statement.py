@@ -45,7 +45,8 @@ def main():
     trusted_block = 1000
     tree = N_HEADERS
 
-    # synthetic but structurally valid chain (128-byte headers, 1 chunk)
+    # synthetic but structurally valid chain (120-byte headers, 1 chunk:
+    # HeaderAir requires 65 <= len <= 128*chunks - 4)
     headers = []
     parent = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
     trusted_hash = parent
@@ -53,7 +54,7 @@ def main():
         bn = trusted_block + 1 + i
         body = parent + scale.encode_compact_u32(bn)
         body += bytes(rng.integers(0, 256,
-                                   128 - len(body) - 32, dtype=np.uint8))
+                                   120 - len(body) - 32, dtype=np.uint8))
         hdr = body + bytes(rng.integers(0, 256, 32, dtype=np.uint8))
         headers.append(hdr)
         parent = hashlib.blake2b(hdr, digest_size=32).digest()

@@ -188,20 +188,29 @@ def _split(n: int) -> Tuple[int, int]:
 #: of HBM temp (observed OOM proving Ed25519VerifyAir, 3336 cols). lax.map
 #: over column tiles bounds the temp at TILE×15×N ints with no FLOP change.
 NTT_BATCH_TILE = 128
+#: accumulator element budget: TILE adapts down for huge transforms so
+#: TILE·15·N s32 stays ≈ 1 GB (a 2^20-point LDE at TILE=128 wanted an
+#: 8 GB temp — the 300-authority ChainedSha256Air OOM).
+NTT_TILE_BUDGET = 1 << 28
+
+
+def _batch_tile(n: int) -> int:
+    return max(1, min(NTT_BATCH_TILE, NTT_TILE_BUDGET // (15 * n)))
 
 
 @partial(jax.jit, static_argnames=("inverse",))
 def ntt_mxu(x: gl.Fp, inverse: bool = False) -> gl.Fp:
     """Four-step forward/inverse NTT over the last axis (N = 2^k, k >= 4).
 
-    Batches wider than NTT_BATCH_TILE stream through the MXU in tiles."""
+    Batches wider than the (size-adaptive) tile stream through the MXU
+    in tiles."""
     lead = x[0].shape[:-1]
     n = x[0].shape[-1]
     b = 1
     for d in lead:
         b *= d
-    if b > NTT_BATCH_TILE:
-        t = NTT_BATCH_TILE
+    if b > _batch_tile(n):
+        t = _batch_tile(n)
         nb = -(-b // t)
         pad = nb * t - b
         lo = jnp.pad(x[0].reshape(b, n), ((0, pad), (0, 0)))
