@@ -39,7 +39,11 @@ def main():
     from vectorx_tpu.stark.prover import (StarkConfig,
                                           PRODUCTION_POW_BITS)
 
-    cfg = StarkConfig(rate_bits=3, num_queries=28, final_poly_len=8,
+    # memory-lean production parameterization (rate 4 x 42 queries + 16
+    # grinding bits ~ same ~100-bit conjectured soundness as rate 8 x 28;
+    # README soundness table) — the 300-auth chain AIR is a 2^17-row
+    # trace, and rate 4 keeps its LDE at 2^19
+    cfg = StarkConfig(rate_bits=2, num_queries=42, final_poly_len=8,
                       pow_bits=PRODUCTION_POW_BITS)
     rng = np.random.default_rng(17)
     trusted_block = 1000

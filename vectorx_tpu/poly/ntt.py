@@ -79,6 +79,12 @@ from functools import partial
 
 
 MXU_THRESHOLD_LOG_N = 12   # four-step matmul NTT wins above this
+MXU_MAX_LOG_N = 18         # above this the (15·n1, 8·n1) int8 DFT block
+                           # constant alone is >100 MB and the axon AOT
+                           # compile helper falls over (observed at 2^20,
+                           # the 300-auth ChainedSha256Air LDE); the
+                           # butterfly compiles trivially and is
+                           # HBM-bandwidth-bound anyway at these sizes
 
 
 def _mxu_dispatch(log_n: int) -> bool:
@@ -87,12 +93,12 @@ def _mxu_dispatch(log_n: int) -> bool:
     generic int8 GEMM that is ~100x slower than the butterfly network
     (a 2^13+ prove on the CPU test mesh went from minutes to hours before
     this gate). VX_NTT_MXU=1/0 overrides."""
-    if log_n < MXU_THRESHOLD_LOG_N:
-        return False
     import os
     env = os.environ.get("VX_NTT_MXU")
     if env is not None:
-        return env == "1"
+        return env == "1" and log_n >= MXU_THRESHOLD_LOG_N
+    if not (MXU_THRESHOLD_LOG_N <= log_n <= MXU_MAX_LOG_N):
+        return False
     return jax.default_backend() != "cpu"
 
 
