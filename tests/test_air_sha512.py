@@ -68,3 +68,18 @@ def test_wrong_h_has_no_witness():
     air = a512.Sha512ChallengeAir([bad], MSG, B=8)
     with pytest.raises(AssertionError):
         air.make_trace()
+
+
+def test_ed25519_dummy_lane_mapped():
+    """Shard padding lanes (air_ed25519.dummy_sig, h = 0) carry no hash
+    binding — they map deterministically to this AIR's own consistent
+    dummy (statements._check_lanes pins unsigned lanes to the exact
+    dummy tuple, so the substitution cannot be abused)."""
+    from vectorx_tpu.stark.air_ed25519 import dummy_sig
+    sig = make_signature(MSG, 11)
+    air = a512.Sha512ChallengeAir([sig, dummy_sig()], MSG, B=9)
+    trace, publics = air.make_trace()
+    assert check_constraints(air, trace, _fp(publics))
+    # deterministic reconstruction gives the identical publics
+    air2 = a512.Sha512ChallengeAir([sig, dummy_sig()], MSG, B=9)
+    assert air2.publics_list() == air.publics_list()

@@ -157,6 +157,16 @@ class Sha512ChallengeAir(_GroupedBase):
             "message length must give exactly two SHA-512 blocks"
         self.message = bytes(message)
         self.n_sigs = len(lanes)
+        # Ed25519 shard padding uses air_ed25519.dummy_sig() whose h = 0
+        # is NOT the digest residue — no hash binding is needed for those
+        # lanes (statements._check_lanes pins unsigned lanes to the exact
+        # dummy tuple), so map them DETERMINISTICALLY to this AIR's own
+        # hash-consistent dummy; the verifier's reconstruction applies the
+        # same rule to the same bundle data.
+        from .air_ed25519 import dummy_sig
+        ed_dummy = dummy_sig()
+        lanes = [tuple(l) if tuple(l) != ed_dummy
+                 else _dummy_lane(self.message) for l in lanes]
         self.lanes = list(lanes) + [_dummy_lane(self.message)
                                     ] * (n_lanes - len(lanes))
         self.n_lanes = n_lanes
