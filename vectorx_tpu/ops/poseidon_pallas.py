@@ -96,42 +96,48 @@ def _sbox(x):
 
 
 def _mds_shift(state, k_ref, k2_ref, nzm_ref):
-    """(12, T) state -> MDS·state via shift-accumulate (exact, canonical).
+    """(12, T) state -> MDS·state via shift-accumulate (exact, < 2^64).
 
-    Terms s[j]·2^{K[i,j]} split into <2^32 limbs at 2^0/2^32/2^64; the
-    j-sum runs in six 16-bit carry-save columns (each < 2^21 for 12
-    terms), then ONE 128-bit reduction per output element. Shift tables
-    arrive as VMEM refs (Pallas kernels cannot capture array constants)."""
+    Terms s[j]·2^{K[i,j]} split into <2^32 limbs at 2^0/2^32/2^64. The
+    j-sum keeps one u32 accumulator PER LIMB plus an overflow COUNTER
+    (each add contributes ≤ 1 carry; counters stay ≤ 11·2 < 2^5) — two
+    ops per limb-add instead of four 16-bit splits — then ONE 128-bit
+    reduction per output element. Shift tables arrive as VMEM refs
+    (Pallas kernels cannot capture array constants)."""
     lo, hi = state
-    c = [jnp.zeros(lo.shape, jnp.uint32) for _ in range(6)]
+    z = jnp.zeros(lo.shape, jnp.uint32)
+    a0, v0 = z, z          # limb 0 accumulator + overflow count
+    a1, v1 = z, z          # limb 1 (B + C share it)
+    a2, v2 = z, z          # limb 2
     for j in range(ps.WIDTH):
         K = k_ref[:, j:j + 1]                # (12, 1) shifts, this column
         lo_j = lo[j:j + 1]                   # (1, T)
         hi_j = hi[j:j + 1]
         A = lo_j << K                        # limb 0
+        t = a0 + A
+        v0 = v0 + (t < A).astype(jnp.uint32)
+        a0 = t
         C = hi_j << K                        # limb 1
-        c[0] = c[0] + (A & _M16)
-        c[1] = c[1] + (A >> _U16)
-        c[2] = c[2] + (C & _M16)
-        c[3] = c[3] + (C >> _U16)
+        t = a1 + C
+        v1 = v1 + (t < C).astype(jnp.uint32)
+        a1 = t
         K2 = k2_ref[:, j:j + 1]
         NZ = nzm_ref[:, j:j + 1]             # 0xFFFFFFFF where K != 0
         B = (lo_j >> K2) & NZ                # limb 1
+        t = a1 + B
+        v1 = v1 + (t < B).astype(jnp.uint32)
+        a1 = t
         D = (hi_j >> K2) & NZ                # limb 2
-        c[2] = c[2] + (B & _M16)
-        c[3] = c[3] + (B >> _U16)
-        c[4] = c[4] + (D & _M16)
-        c[5] = c[5] + (D >> _U16)
-    lo_ = c[0] + (c[1] << _U16)
-    cy0 = (lo_ < c[0]).astype(jnp.uint32)
-    hi_a = (c[1] >> _U16) + c[2] + cy0
-    hi_ = hi_a + (c[3] << _U16)
-    cy1 = (hi_ < hi_a).astype(jnp.uint32)
-    n2_a = (c[3] >> _U16) + c[4] + cy1
-    n2 = n2_a + (c[5] << _U16)
-    cy2 = (n2 < n2_a).astype(jnp.uint32)
-    n3 = (c[5] >> _U16) + cy2
-    return _reduce128_lazy(lo_, hi_, n2, n3)
+        t = a2 + D
+        v2 = v2 + (t < D).astype(jnp.uint32)
+        a2 = t
+    # value = a0 + 2^32(v0 + a1) + 2^64(v1 + a2) + 2^96·v2
+    n1 = v0 + a1
+    c1 = (n1 < a1).astype(jnp.uint32)
+    n2 = v1 + a2 + c1                        # ≤ 2^32-1 + ~2^5: no overflow
+    c2 = (n2 < a2).astype(jnp.uint32)
+    n3 = v2 + c2
+    return _reduce128_lazy(a0, n1, n2, n3)
 
 
 def _kernel(rc_lo_ref, rc_hi_ref, k_ref, k2_ref, nzm_ref,
