@@ -84,3 +84,12 @@ def test_diffusion():
     da = ps.permute_ints(a)
     db = ps.permute_ints(b)
     assert all(x != y for x, y in zip(da, db))
+
+
+def test_fast_partial_factorization_exact():
+    """The Appendix-B sparse factorization (fast_partial_ints — what the
+    Pallas kernel executes) is EXACTLY the standard permutation."""
+    rng = np.random.default_rng(77)
+    for _ in range(8):
+        s = [int(x) for x in rng.integers(0, P, 12, dtype=np.uint64)]
+        assert ps.permute_ints_fast(s) == ps.permute_ints(s)

@@ -148,6 +148,144 @@ def permute_ints(state: Sequence[int]) -> List[int]:
     return s
 
 
+def _mat_inv_mod(A: Sequence[Sequence[int]]) -> List[List[int]]:
+    """Exact inverse of a square matrix mod p (Gauss-Jordan)."""
+    n = len(A)
+    M = [[A[i][j] % P for j in range(n)] + [1 if j == i else 0 for j in range(n)]
+         for i in range(n)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if M[r][col] % P != 0)
+        M[col], M[piv] = M[piv], M[col]
+        inv = pow(M[col][col], P - 2, P)
+        M[col] = [(x * inv) % P for x in M[col]]
+        for r in range(n):
+            if r != col and M[r][col]:
+                f = M[r][col]
+                M[r] = [(M[r][j] - f * M[col][j]) % P for j in range(2 * n)]
+    return [row[n:] for row in M]
+
+
+@lru_cache(maxsize=None)
+def fast_partial_ints():
+    """Poseidon-paper Appendix-B sparse factorization of the partial rounds.
+
+    The 22 partial rounds  s -> M @ sbox0(s + rc_r)  are rewritten as
+
+        for i in 0..21:  s -> S_i @ sbox0(s + a_i*e0)
+        s -> D @ s + L
+
+    with each S_i SPARSE ([[m00_i, v_i^T], [w_hat_i, I]]) and ONE dense
+    matrix D = [[1, 0], [0, Mh_0 Mh_1 ... Mh_21]] at the end — derived by
+    the factorization M = M' M'' (M' = diag(1, Mh), M'' sparse) and the
+    commutation sbox0 ∘ M' = M' ∘ sbox0 (M' preserves lane 0); the
+    lanes-1..11 round constants fold forward into a_i and the leftover L.
+    Exactness is asserted against permute_ints (test_poseidon.py).
+
+    Returns (a, rows, whats, D, L):
+      a[i]      lane-0 pre-sbox constant, round i
+      rows[i]   length-12: [m00_i, v_i(11)]   (out0 = <rows[i], state'>)
+      whats[i]  length-12: [0,     w_hat_i(11)] (out_j = whats[i][j]*s0' + s_j)
+      D         12x12 dense matrix ([[1,0],[0,Dh]])
+      L         length-12 leftover constant vector
+    """
+    t, n_p, hf = WIDTH, PARTIAL_ROUNDS, FULL_ROUNDS // 2
+    M = [list(r) for r in mds_matrix()]
+    rc = round_constants()
+
+    # ---- constant folding: full-width rc -> lane-0 a_i + leftover L ----
+    c = list(rc[hf])
+    a: List[int] = []
+    L: List[int] = []
+    for i in range(n_p):
+        a.append(c[0])
+        tail = [sum(M[r][j] * c[j] for j in range(1, t)) % P for r in range(t)]
+        if i < n_p - 1:
+            c = [(tail[k] + rc[hf + i + 1][k]) % P for k in range(t)]
+        else:
+            L = tail
+
+    # ---- sparse factorization ----
+    def matmul(A, B):
+        n = len(A)
+        return [[sum(A[i][k] * B[k][j] for k in range(n)) % P
+                 for j in range(n)] for i in range(n)]
+
+    Mi = [row[:] for row in M]
+    rows: List[List[int]] = []
+    whats: List[List[int]] = []
+    Dh = [[1 if i == j else 0 for j in range(t - 1)] for i in range(t - 1)]
+    for i in range(n_p):
+        m00 = Mi[0][0]
+        v = [Mi[0][j] for j in range(1, t)]
+        w = [Mi[r][0] for r in range(1, t)]
+        Mh = [[Mi[r][j] for j in range(1, t)] for r in range(1, t)]
+        w_hat = [sum(r_ * w_ for r_, w_ in zip(row, w)) % P
+                 for row in _mat_inv_mod(Mh)]
+        rows.append([m00] + v)
+        whats.append([0] + w_hat)
+        Dh = matmul(Dh, Mh)
+        # M_{i+1} = S_i @ M_i'
+        S = [[m00] + v] + [[w_hat[r]] + [1 if j == r else 0
+                                         for j in range(t - 1)]
+                           for r in range(t - 1)]
+        Mp = [[1] + [0] * (t - 1)] + [[0] + Mh[r] for r in range(t - 1)]
+        Mi = matmul(S, Mp)
+    D = [[1] + [0] * (t - 1)] + [[0] + Dh[r] for r in range(t - 1)]
+    return (tuple(a), tuple(map(tuple, rows)), tuple(map(tuple, whats)),
+            tuple(map(tuple, D)), tuple(L))
+
+
+@lru_cache(maxsize=None)
+def _np_fast_partial():
+    """fast_partial_ints + the L-folded rc table as uint32 lo/hi planes."""
+    a, rows, whats, D, L = fast_partial_ints()
+
+    def planes(x):
+        arr = np.array(x, dtype=np.object_)
+        return ((arr & 0xFFFFFFFF).astype(np.uint32),
+                (arr >> 32).astype(np.uint32))
+
+    hf = FULL_ROUNDS // 2
+    rc = np.array(round_constants(), dtype=np.object_)
+    rc_mod = rc.copy()
+    rc_mod[hf + PARTIAL_ROUNDS] = [
+        (int(x) + l) % P for x, l in zip(rc[hf + PARTIAL_ROUNDS], L)]
+    # pack a_i into slot 0 of the w_hat table (lane 0 of the col scatter
+    # is overwritten by the row dot, so that slot is free)
+    col = [(a[i],) + whats[i][1:] for i in range(PARTIAL_ROUNDS)]
+    return planes(rows), planes(col), planes(D), planes(rc_mod)
+
+
+def permute_ints_fast(state: Sequence[int]) -> List[int]:
+    """permute_ints via the fast-partial factorization (exact oracle for
+    the Pallas kernel's round structure; asserted == permute_ints)."""
+    assert len(state) == WIDTH
+    s = [x % P for x in state]
+    rc = round_constants()
+    m = mds_matrix()
+    a, rows, whats, D, L = fast_partial_ints()
+
+    def full_round(s, r):
+        s = [(x + c) % P for x, c in zip(s, rc[r])]
+        s = [pow(x, ALPHA, P) for x in s]
+        return [sum(m[i][j] * s[j] for j in range(WIDTH)) % P
+                for i in range(WIDTH)]
+
+    hf = FULL_ROUNDS // 2
+    for r in range(hf):
+        s = full_round(s, r)
+    for i in range(PARTIAL_ROUNDS):
+        s0 = pow((s[0] + a[i]) % P, ALPHA, P)
+        out0 = (rows[i][0] * s0
+                + sum(rows[i][j] * s[j] for j in range(1, WIDTH))) % P
+        s = [out0] + [(whats[i][j] * s0 + s[j]) % P for j in range(1, WIDTH)]
+    s = [sum(D[i][j] * s[j] for j in range(WIDTH)) % P for i in range(WIDTH)]
+    s = [(x + l) % P for x, l in zip(s, L)]
+    for r in range(hf + PARTIAL_ROUNDS, N_ROUNDS):
+        s = full_round(s, r)
+    return s
+
+
 def hash_two_to_one_ints(left: Sequence[int], right: Sequence[int]) -> List[int]:
     state = list(left) + list(right) + [0] * CAPACITY
     return permute_ints(state)[:DIGEST_WIDTH]

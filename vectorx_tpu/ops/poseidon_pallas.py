@@ -8,10 +8,14 @@ sublane row, TILE independent permutations across the vector lanes.
 
 Round structure exploited:
 - the MDS matrix is the power-of-two circulant (hashes/poseidon.MDS_ROW),
-  so each term is two shifts + 16-bit carry-save accumulation — no 64x64
-  modmuls in the MDS at all;
-- partial rounds S-box ONLY lane 0 (the earlier kernel sboxed all 12
-  lanes every round and threw 2/3 of its arithmetic away).
+  so each full-round term is two shifts + 16-bit carry-save accumulation
+  — no 64x64 modmuls in the full-round MDS at all;
+- the 22 partial rounds run the Poseidon-paper Appendix-B SPARSE
+  factorization (hashes/poseidon.fast_partial_ints): per round one lane-0
+  S-box, a 12-term row dot into lane 0 and an 11-term column scatter —
+  two batched constant modmuls instead of the dense MDS — with ONE dense
+  12x12 matvec closing the chain (measured 1.25x over the dense-MDS
+  partial rounds back-to-back on chip).
 
 Dispatch: hashes/poseidon.permute routes here on TPU backends for large
 batches (VX_POSEIDON_PALLAS=1/0 overrides); the lax.scan path remains the
@@ -31,8 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..field import goldilocks as gl
 from ..hashes import poseidon as ps
 
-TILE = 8192  # permutations per grid step (lanes); throughput is flat
-             # from 1024 up — bigger tiles just amortize grid overhead
+TILE = 4096  # permutations per grid step (lanes); throughput is flat
+             # from 1024 up — bigger tiles just amortize grid overhead.
+             # 8192 overflows the 16M scoped-VMEM stack with the sparse
+             # partial-round temps (measured: 20.46M requested)
 
 _M16 = 0xFFFF
 _U16 = 16
@@ -140,7 +146,32 @@ def _mds_shift(state, k_ref, k2_ref, nzm_ref):
     return _reduce128_lazy(a0, n1, n2, n3)
 
 
+def _sum12_128(plo, phi):
+    """Σ over the 12 sublanes of (12, T) lazy (lo, hi) values, as one
+    128-bit column sum -> reduced (1, T). 16-bit splits summed via int32
+    (Mosaic has no unsigned reductions; columns < 2^20, exact)."""
+    m16 = jnp.uint32(0xFFFF)
+    u16 = jnp.uint32(16)
+
+    def s16(x, shift):
+        part = (x >> u16) if shift else (x & m16)
+        return jnp.sum(part.astype(jnp.int32), axis=0,
+                       keepdims=True).astype(jnp.uint32)
+
+    c0, c1 = s16(plo, 0), s16(plo, 1)
+    c2, c3 = s16(phi, 0), s16(phi, 1)
+    n0 = c0 + ((c1 & m16) << u16)
+    cy0 = (n0 < c0).astype(jnp.uint32)
+    mid = (c1 >> u16) + c2 + cy0
+    n1 = mid + ((c3 & m16) << u16)
+    cy1 = (n1 < mid).astype(jnp.uint32)
+    n2 = (c3 >> u16) + cy1
+    return _reduce128_lazy(n0, n1, n2, jnp.zeros_like(n0))
+
+
 def _kernel(rc_lo_ref, rc_hi_ref, k_ref, k2_ref, nzm_ref,
+            prow_lo_ref, prow_hi_ref, pcol_lo_ref, pcol_hi_ref,
+            d_lo_ref, d_hi_ref,
             s_lo_ref, s_hi_ref, o_lo_ref, o_hi_ref):
     half_f = ps.FULL_ROUNDS // 2
     n_rounds = ps.N_ROUNDS
@@ -157,17 +188,64 @@ def _kernel(rc_lo_ref, rc_hi_ref, k_ref, k2_ref, nzm_ref,
     def full_round(r, state):
         return mds(_sbox(add_rc(state, r)))
 
-    def partial_round(r, state):
-        t = add_rc(state, r)
-        s0 = _sbox((t[0][0:1], t[1][0:1]))       # lane 0 only
-        t = (jnp.concatenate([s0[0], t[0][1:]], axis=0),
-             jnp.concatenate([s0[1], t[1][1:]], axis=0))
-        return mds(t)
+    def partial_round(i, state):
+        """Sparse round i (hashes.poseidon.fast_partial_ints):
+        s0' = sbox(s0 + a_i); out0 = <row_i, (s0', s1..)>;
+        out_j = what_i[j]*s0' + s_j. a_i rides slot 0 of the col table
+        (that lane of the scatter is overwritten by the row dot)."""
+        lo, hi = state
+        shape = (12, lo.shape[1])
+        clo = pcol_lo_ref[pl.ds(i, 1), :].reshape(12, 1)
+        chi = pcol_hi_ref[pl.ds(i, 1), :].reshape(12, 1)
+        a = (jnp.broadcast_to(clo[0:1], (1, shape[1])),
+             jnp.broadcast_to(chi[0:1], (1, shape[1])))
+        s0 = _sbox(_add_lazy((lo[0:1], hi[0:1]), a))
+        full_lo = jnp.concatenate([s0[0], lo[1:]], axis=0)
+        full_hi = jnp.concatenate([s0[1], hi[1:]], axis=0)
+        rlo = prow_lo_ref[pl.ds(i, 1), :].reshape(12, 1)
+        rhi = prow_hi_ref[pl.ds(i, 1), :].reshape(12, 1)
+        plo, phi = _mul_lazy((full_lo, full_hi),
+                             (jnp.broadcast_to(rlo, shape),
+                              jnp.broadcast_to(rhi, shape)))
+        out0 = _sum12_128(plo, phi)
+        qlo, qhi = _mul_lazy((jnp.broadcast_to(s0[0], shape),
+                              jnp.broadcast_to(s0[1], shape)),
+                             (jnp.broadcast_to(clo, shape),
+                              jnp.broadcast_to(chi, shape)))
+        rest = _add_lazy((full_lo, full_hi), (qlo, qhi))
+        return (jnp.concatenate([out0[0], rest[0][1:]], axis=0),
+                jnp.concatenate([out0[1], rest[1][1:]], axis=0))
+
+    def dense_d(state):
+        """state -> D @ state (one 12x12 matvec closing the sparse chain;
+        leftover L is pre-folded into the next rc row host-side)."""
+        lo, hi = state
+        shape = (12, lo.shape[1])
+        z = jnp.zeros(shape, jnp.uint32)
+        a0, v0 = z, z                      # Σ product-lo + overflow count
+        a1, v1 = z, z                      # Σ product-hi + overflow count
+        for j in range(ps.WIDTH):
+            dlo = d_lo_ref[:, j:j + 1]
+            dhi = d_hi_ref[:, j:j + 1]
+            plo, phi = _mul_lazy(
+                (jnp.broadcast_to(lo[j:j + 1], shape),
+                 jnp.broadcast_to(hi[j:j + 1], shape)),
+                (jnp.broadcast_to(dlo, shape), jnp.broadcast_to(dhi, shape)))
+            t = a0 + plo
+            v0 = v0 + (t < plo).astype(jnp.uint32)
+            a0 = t
+            t = a1 + phi
+            v1 = v1 + (t < phi).astype(jnp.uint32)
+            a1 = t
+        n1 = v0 + a1
+        c1 = (n1 < a1).astype(jnp.uint32)
+        n2 = v1 + c1
+        return _reduce128_lazy(a0, n1, n2, jnp.zeros_like(n2))
 
     state = (s_lo_ref[:], s_hi_ref[:])           # (12, T)
     state = jax.lax.fori_loop(0, half_f, full_round, state)
-    state = jax.lax.fori_loop(half_f, half_f + ps.PARTIAL_ROUNDS,
-                              partial_round, state)
+    state = jax.lax.fori_loop(0, ps.PARTIAL_ROUNDS, partial_round, state)
+    state = dense_d(state)
     state = jax.lax.fori_loop(n_rounds - half_f, n_rounds, full_round,
                               state)
     # intermediate rounds run LAZY (< 2^64, non-canonical); one final
@@ -185,21 +263,29 @@ def permute_tiles(s_lo: jax.Array, s_hi: jax.Array, interpret: bool = False):
     spec = pl.BlockSpec((12, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
     cspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
-    rc_lo, rc_hi, _, _ = ps._np_constants()
     kt, k2t = ps._mds_shift_tables()
     nzm = np.where(kt != 0, 0xFFFFFFFF, 0).astype(np.uint32)
+    ((prow_lo, prow_hi), (pcol_lo, pcol_hi), (d_lo, d_hi),
+     (rc_lo, rc_hi)) = ps._np_fast_partial()
+    np_ = ps.PARTIAL_ROUNDS
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[cspec((ps.N_ROUNDS, 12)), cspec((ps.N_ROUNDS, 12)),
                   cspec((12, 12)), cspec((12, 12)), cspec((12, 12)),
+                  cspec((np_, 12)), cspec((np_, 12)),
+                  cspec((np_, 12)), cspec((np_, 12)),
+                  cspec((12, 12)), cspec((12, 12)),
                   spec, spec],
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct(s_lo.shape, jnp.uint32),
                    jax.ShapeDtypeStruct(s_hi.shape, jnp.uint32)],
         interpret=interpret,
     )(jnp.asarray(rc_lo), jnp.asarray(rc_hi), jnp.asarray(kt),
-      jnp.asarray(k2t), jnp.asarray(nzm), s_lo, s_hi)
+      jnp.asarray(k2t), jnp.asarray(nzm),
+      jnp.asarray(prow_lo), jnp.asarray(prow_hi),
+      jnp.asarray(pcol_lo), jnp.asarray(pcol_hi),
+      jnp.asarray(d_lo), jnp.asarray(d_hi), s_lo, s_hi)
 
 
 def permute(state: gl.Fp, interpret: bool = False) -> gl.Fp:
