@@ -45,7 +45,8 @@ T_START = time.time()
 BUDGET_S = float(os.environ.get("VX_BENCH_BUDGET_S", "2400"))
 SKIP_SLOW = os.environ.get("VX_BENCH_SKIP_SLOW") == "1"
 
-ITERS = 4
+ITERS = 8  # axon tunnel throughput drifts run-to-run (±2x observed); more
+          # samples per metric make the min a stable floor
 
 # estimated reference (rayon, 32 vCPU) throughputs — see module docstring
 BASE_NTT_PTS_S = 1.0e8
