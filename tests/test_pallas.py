@@ -21,3 +21,20 @@ def test_pallas_permute_matches_reference():
     want = ps.permute(fp)
     assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
     assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_pallas_permute_multi_tile_grid():
+    """Batch > TILE: two grid steps + lane padding must stay exact."""
+    n = pp.TILE + 3
+    states = np.stack([RNG.integers(0, P, 12, dtype=np.uint64)
+                       for _ in range(4)])
+    reps = np.tile(states, (n // 4 + 1, 1))[:n]
+    fp = gl.to_fp(reps.astype(object))
+    got = pp.permute(fp, interpret=True)
+    want = {tuple(int(x) for x in s): ps.permute_ints([int(x) for x in s])
+            for s in states}
+    got_int = (np.asarray(got[0], np.uint64)
+               | (np.asarray(got[1], np.uint64) << 32))
+    for i in (0, 1, pp.TILE - 1, pp.TILE, n - 1):
+        key = tuple(int(x) for x in reps[i])
+        assert got_int[i].tolist() == want[key], i
