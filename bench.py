@@ -45,8 +45,11 @@ T_START = time.time()
 BUDGET_S = float(os.environ.get("VX_BENCH_BUDGET_S", "2400"))
 SKIP_SLOW = os.environ.get("VX_BENCH_SKIP_SLOW") == "1"
 
-ITERS = 8  # axon tunnel throughput drifts run-to-run (±2x observed); more
-          # samples per metric make the min a stable floor
+ITERS = 4  # axon tunnel throughput drifts run-to-run (±2x observed); the
+          # min over a few samples is a usable floor. r3 ran 8 and the
+          # extra samples × cold compiles blew the driver window
+          # (BENCH_r03 rc=124, 2/6 metrics) — cheap metrics must all land
+          # before anything that compiles for minutes.
 
 # estimated reference (rayon, 32 vCPU) throughputs — see module docstring
 BASE_NTT_PTS_S = 1.0e8
@@ -282,15 +285,19 @@ print(min(ts))
 
 def main():
     lat = _dispatch_latency()
-    # header_proof runs SECOND: it is the flagship end-to-end metric and
-    # must land even if the driver kills the tail of the run
+    # Cheap metrics (seconds of compile each) run FIRST so a driver kill
+    # mid-run still leaves a full set of kernel numbers; the two
+    # compile-heavy metrics (ntt 2^20 scan, header_proof cold prover
+    # compile) run last, each behind the budget guard. Three rounds of
+    # rc=124 with 2/6 metrics captured is the failure mode this order
+    # exists to prevent.
     benches = [
-        ("ntt", lambda: bench_ntt(lat)),
-        ("header_proof", lambda: bench_header_proof(lat)),
         ("poseidon", lambda: bench_poseidon(lat)),
         ("poseidon_pallas", lambda: bench_poseidon_pallas(lat)),
         ("blake2b", lambda: bench_blake2b(lat)),
+        ("ntt", lambda: bench_ntt(lat)),
         ("subchain_scaling", bench_subchain_scaling),
+        ("header_proof", lambda: bench_header_proof(lat)),
     ]
     for name, fn in benches:
         if name == "header_proof" and SKIP_SLOW:
@@ -298,6 +305,12 @@ def main():
             continue
         if time.time() - T_START > BUDGET_S:
             print(f"# skipped {name} (budget)", file=sys.stderr)
+            continue
+        if name == "header_proof" and time.time() - T_START > BUDGET_S * 0.5:
+            # its cold compile alone can eat many minutes — don't start it
+            # unless at least half the budget remains
+            print(f"# skipped {name} (insufficient budget headroom)",
+                  file=sys.stderr)
             continue
         try:
             fn()

@@ -1,7 +1,9 @@
 """Production-soundness header_range measurement on the real chip
-(VERDICT round-2 item 4): one full prove_header_range at rate 8 / 28
-queries / 16 grinding bits with 300 authorities — turning BASELINE.md's
-derived estimate into a measured number.
+(VERDICT round-2 item 4): one full prove_header_range at rate 4 / 42
+queries / 16 grinding bits with 300 authorities — the memory-lean
+production parameterization (~same ~100-bit conjectured soundness as
+rate 8 x 28; README soundness table) — turning BASELINE.md's derived
+estimate into a measured number.
 
 Defaults: tree_size 8, 8 small headers, 300 authorities (the reference's
 test proves 300 auth x 256 headers, header_range.rs:228-277 — same

@@ -88,11 +88,30 @@ def _sqr_lazy(a):
 
 
 def _add_lazy(a, b):
+    """Lazy add: exact when at least one operand is canonical (< p) —
+    the sum then stays < 2^65 - 2^32 and the single epsilon fold cannot
+    wrap hi. For two FULL-RANGE lazy operands use _add_lazy2."""
     lo, hi, carry = gl.add64(a, b)
     eps = jnp.uint32(gl.EPSILON)
     lo2 = lo + carry * eps
     c2 = (lo2 < lo).astype(jnp.uint32)
     return lo2, hi + c2
+
+
+def _add_lazy2(a, b):
+    """Lazy add exact for TWO full-range lazy operands (both may be in
+    [p, 2^64)): the sum can reach [2^65 - 2^32, 2^65), where the epsilon
+    fold's hi+c2 wraps and silently drops 2^64 ≡ epsilon (mod p). Detect
+    that wrap and fold epsilon once more (one compare + add)."""
+    lo, hi, carry = gl.add64(a, b)
+    eps = jnp.uint32(gl.EPSILON)
+    lo2 = lo + carry * eps
+    c2 = (lo2 < lo).astype(jnp.uint32)
+    hi2 = hi + c2
+    wrap = jnp.logical_and(c2 == 1, hi2 == 0).astype(jnp.uint32)
+    lo3 = lo2 + wrap * eps
+    c3 = (lo3 < lo2).astype(jnp.uint32)
+    return lo3, hi2 + c3
 
 
 def _sbox(x):
@@ -212,7 +231,8 @@ def _kernel(rc_lo_ref, rc_hi_ref, k_ref, k2_ref, nzm_ref,
                               jnp.broadcast_to(s0[1], shape)),
                              (jnp.broadcast_to(clo, shape),
                               jnp.broadcast_to(chi, shape)))
-        rest = _add_lazy((full_lo, full_hi), (qlo, qhi))
+        # both operands full-range lazy -> needs the double-carry add
+        rest = _add_lazy2((full_lo, full_hi), (qlo, qhi))
         return (jnp.concatenate([out0[0], rest[0][1:]], axis=0),
                 jnp.concatenate([out0[1], rest[1][1:]], axis=0))
 
