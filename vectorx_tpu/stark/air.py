@@ -132,6 +132,18 @@ class Air:
                    consts: List = (), consts_next: List = ()) -> List:
         return []
 
+    def transition_iter(self, alg, local: List, next_row: List,
+                        publics: List, consts: List = (),
+                        consts_next: List = ()):
+        """Streaming form: yield the SAME constraints in the SAME order as
+        ``transition``. Consumers that fold constraints incrementally (the
+        recursion recorder — stark/RECURSION.md phase 5) use this; wide
+        AIRs override it with a true generator so no more than one
+        constraint's cells are live at a time. Default: delegate (no
+        liveness benefit, full compatibility)."""
+        yield from self.transition(alg, local, next_row, publics, consts,
+                                   consts_next)
+
     def first_row(self, alg, local: List, publics: List,
                   consts: List = ()) -> List:
         return []

@@ -521,7 +521,17 @@ class Blake2bVarAir(Blake2bAir):
 
     def transition(self, alg, local, next_row, publics, consts=(),
                    consts_next=()):
-        cs = []
+        return list(self.transition_iter(alg, local, next_row, publics,
+                                         consts, consts_next))
+
+    def transition_iter(self, alg, local, next_row, publics, consts=(),
+                        consts_next=()):
+        """Generator form of ``transition`` — SAME constraints in the SAME
+        order, yielded one at a time. The recursion recorder consumes this
+        so each constraint folds into the ALI accumulator as soon as it is
+        produced; with a returned list every result cell stays live until
+        the final α-combine and the register file explodes
+        (stark/RECURSION.md phase 5 — liveness-capped recording)."""
         St = self._stack
         one = alg.one()
         two32 = alg.constant(1 << 32)
@@ -556,20 +566,20 @@ class Blake2bVarAir(Blake2bAir):
 
         # booleanity
         for f in (bd, bb, ba1, bc1, ba2, bc2, bd2, bb2, bh, bx, tbits, crs):
-            cs.append(alg.sub(alg.mul(f, f), f))
+            yield alg.sub(alg.mul(f, f), f)
 
         # taps
         dsel = [alg.add(sel_d[p], fsel1[p]) for p in range(16)]
         bsel = [alg.add(sel_b[p], fsel2[p]) for p in range(16)]
         d_lo, d_hi = self._blend(alg, local, dsel, V)
         b_lo, b_hi = self._blend(alg, local, bsel, V)
-        cs.append(alg.sub(self._val_slice(alg, bd, 0), d_lo))
-        cs.append(alg.sub(self._val_slice(alg, bd, 1), d_hi))
-        cs.append(alg.sub(self._val_slice(alg, bb, 0), b_lo))
-        cs.append(alg.sub(self._val_slice(alg, bb, 1), b_hi))
+        yield alg.sub(self._val_slice(alg, bd, 0), d_lo)
+        yield alg.sub(self._val_slice(alg, bd, 1), d_hi)
+        yield alg.sub(self._val_slice(alg, bb, 0), b_lo)
+        yield alg.sub(self._val_slice(alg, bb, 1), b_hi)
         h_lo, h_hi = self._h_blend(alg, local, fselh)
-        cs.append(alg.sub(self._val_slice(alg, bh, 0), h_lo))
-        cs.append(alg.sub(self._val_slice(alg, bh, 1), h_hi))
+        yield alg.sub(self._val_slice(alg, bh, 0), h_lo)
+        yield alg.sub(self._val_slice(alg, bh, 1), h_hi)
 
         a_lo, a_hi = self._blend(alg, local, sel_a, V)
         c_lo, c_hi = self._blend(alg, local, sel_c, V)
@@ -586,31 +596,32 @@ class Blake2bVarAir(Blake2bAir):
             for t in hi_terms[1:]:
                 shi = alg.add(shi, t)
             shi = alg.add(shi, clo)
-            cs.append(alg.sub(alg.add(self._val_slice(alg, out_fam, 0),
-                                      alg.mul(clo, two32)), slo))
-            cs.append(alg.sub(alg.add(self._val_slice(alg, out_fam, 1),
-                                      alg.mul(chi, two32)), shi))
+            return [alg.sub(alg.add(self._val_slice(alg, out_fam, 0),
+                                    alg.mul(clo, two32)), slo),
+                    alg.sub(alg.add(self._val_slice(alg, out_fam, 1),
+                                    alg.mul(chi, two32)), shi)]
 
         bb_lo = self._val_slice(alg, bb, 0)
         bb_hi = self._val_slice(alg, bb, 1)
-        add3([a_lo, bb_lo, x_lo], [a_hi, bb_hi, x_hi], ba1, 0, 2)
+        yield from add3([a_lo, bb_lo, x_lo], [a_hi, bb_hi, x_hi], ba1, 0, 2)
         d1 = self._roll(self._xor_g(alg, bd, ba1), -32)
-        add3([c_lo, self._val_slice(alg, d1, 0)],
-             [c_hi, self._val_slice(alg, d1, 1)], bc1, 4, 1)
+        yield from add3([c_lo, self._val_slice(alg, d1, 0)],
+                        [c_hi, self._val_slice(alg, d1, 1)], bc1, 4, 1)
         b1 = self._roll(self._xor_g(alg, bb, bc1), -24)
-        add3([self._val_slice(alg, ba1, 0), self._val_slice(alg, b1, 0),
-              y_lo],
-             [self._val_slice(alg, ba1, 1), self._val_slice(alg, b1, 1),
-              y_hi], ba2, 6, 2)
-        cs.append(alg.sub(bd2, self._roll(self._xor_g(alg, d1, ba2), -16)))
-        add3([self._val_slice(alg, bc1, 0), self._val_slice(alg, bd2, 0)],
-             [self._val_slice(alg, bc1, 1), self._val_slice(alg, bd2, 1)],
-             bc2, 10, 1)
-        cs.append(alg.sub(bb2, self._roll(self._xor_g(alg, b1, bc2), -63)))
+        yield from add3([self._val_slice(alg, ba1, 0),
+                         self._val_slice(alg, b1, 0), y_lo],
+                        [self._val_slice(alg, ba1, 1),
+                         self._val_slice(alg, b1, 1), y_hi], ba2, 6, 2)
+        yield alg.sub(bd2, self._roll(self._xor_g(alg, d1, ba2), -16))
+        yield from add3([self._val_slice(alg, bc1, 0),
+                         self._val_slice(alg, bd2, 0)],
+                        [self._val_slice(alg, bc1, 1),
+                         self._val_slice(alg, bd2, 1)], bc2, 10, 1)
+        yield alg.sub(bb2, self._roll(self._xor_g(alg, b1, bc2), -63))
 
         # finalisation xor: BX == BH ^ BD ^ BB (v[j] ^ v[j+8] ^ h[j])
-        cs.append(alg.sub(bx, self._xor_g(alg, bh,
-                                          self._xor_g(alg, bd, bb))))
+        yield alg.sub(bx, self._xor_g(alg, bh,
+                                      self._xor_g(alg, bd, bb)))
 
         # v writes within a block; v re-initialisation at chunk boundaries
         a2v = (self._val_slice(alg, ba2, 0), self._val_slice(alg, ba2, 1))
@@ -632,7 +643,7 @@ class Blake2bVarAir(Blake2bAir):
                     alg.add(alg.mul(not_last, upd),
                             alg.mul(alg.mul(not_last, keep),
                                     local[V + 2 * p + hh]))))
-        cs.append(St(wr))
+        yield St(wr)
 
         # chunk-start v init (constraints on next_row gated by b_last)
         init = []
@@ -674,7 +685,7 @@ class Blake2bVarAir(Blake2bAir):
         init.append(alg.sub(next_row[V + 30], alg.constant(iv7 & M32)))
         init.append(alg.sub(next_row[V + 31],
                             alg.constant((iv7 >> 32) & M32)))
-        cs.append(alg.mul(b_last, St(init)))
+        yield alg.mul(b_last, St(init))
 
         # h register: finalisation writes (active chunks only), else copy
         hw = []
@@ -689,45 +700,44 @@ class Blake2bVarAir(Blake2bAir):
                     alg.add(alg.mul(finw[j], upd),
                             alg.mul(alg.sub(one, finw[j]),
                                     local[H + 2 * j + hh]))))
-        cs.append(St(hw))
+        yield St(hw)
 
         # message copy within a block (free across chunk boundaries)
         mg = St([local[MW + i] for i in range(32)])
         nmg = St([next_row[MW + i] for i in range(32)])
-        cs.append(alg.mul(not_last, alg.sub(nmg, mg)))
+        yield alg.mul(not_last, alg.sub(nmg, mg))
         # t bits copy within a block
-        cs.append(alg.mul(not_last, alg.sub(ntb, tbits)))
+        yield alg.mul(not_last, alg.sub(ntb, tbits))
         # ACT/LST copy within a block; ACT non-increasing at boundaries;
         # LST_c == ACT_c * (1 - ACT_{c+1})
-        cs.append(alg.mul(not_last, alg.sub(next_row[ACT], local[ACT])))
-        cs.append(alg.mul(not_last, alg.sub(next_row[LST], local[LST])))
-        cs.append(alg.mul(b_last, alg.mul(next_row[ACT],
-                                          alg.sub(one, local[ACT]))))
-        cs.append(alg.mul(b_last, alg.sub(local[LST],
-                                          alg.mul(local[ACT],
-                                                  alg.sub(one,
-                                                          next_row[ACT])))))
+        yield alg.mul(not_last, alg.sub(next_row[ACT], local[ACT]))
+        yield alg.mul(not_last, alg.sub(next_row[LST], local[LST]))
+        yield alg.mul(b_last, alg.mul(next_row[ACT],
+                                      alg.sub(one, local[ACT])))
+        yield alg.mul(b_last, alg.sub(local[LST],
+                                      alg.mul(local[ACT],
+                                              alg.sub(one,
+                                                      next_row[ACT]))))
         # RNG7 copy within a block
         rg = St([local[RNG7 + i] for i in range(7)])
         nrg = St([next_row[RNG7 + i] for i in range(7)])
-        cs.append(alg.mul(not_last, alg.sub(nrg, rg)))
+        yield alg.mul(not_last, alg.sub(nrg, rg))
 
         # t binding: sum(T) = LST ? length : 128*(c+1)
         tval = self._sum0(alg.mul(tbits, self._pw2(alg)))
-        cs.append(alg.sub(tval,
-                          alg.add(alg.mul(local[LST], alg.lift(publics[0])),
-                                  alg.mul(alg.sub(one, local[LST]),
-                                          t_full))))
+        yield alg.sub(tval,
+                      alg.add(alg.mul(local[LST], alg.lift(publics[0])),
+                              alg.mul(alg.sub(one, local[LST]),
+                                      t_full)))
         # last-chunk range: length - 128*c - 1 in [0, 127]
         rval = alg.zero()
         for i in range(7):
             rval = alg.add(rval, alg.mul(alg.constant(1 << i),
                                          local[RNG7 + i]))
-        cs.append(alg.mul(local[LST],
-                          alg.sub(alg.lift(publics[0]),
-                                  alg.add(t_prev,
-                                          alg.add(rval, one)))))
-        return cs
+        yield alg.mul(local[LST],
+                      alg.sub(alg.lift(publics[0]),
+                              alg.add(t_prev,
+                                      alg.add(rval, one))))
 
     def first_row(self, alg, local, publics, consts=()):
         cs = []

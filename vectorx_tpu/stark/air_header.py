@@ -141,28 +141,30 @@ class HeaderAir(Blake2bVarAir):
 
     # -- constraints ---------------------------------------------------
 
-    def transition(self, alg, local, next_row, publics, consts=(),
-                   consts_next=()):
-        cs = super().transition(alg, local, next_row, publics,
-                                consts, consts_next)
+    def transition_iter(self, alg, local, next_row, publics, consts=(),
+                        consts_next=()):
+        # streaming form (see Blake2bVarAir.transition_iter); the list
+        # wrapper `transition` is inherited
+        yield from super().transition_iter(alg, local, next_row, publics,
+                                           consts, consts_next)
         one = alg.one()
         St = self._stack
 
         # byte bits: boolean; MB = Σ 2^k bits
         bits = St([local[MBB + k] for k in range(8)])
-        cs.append(alg.sub(alg.mul(bits, bits), bits))
+        yield alg.sub(alg.mul(bits, bits), bits)
         mb_val = alg.zero()
         for k in range(8):
             mb_val = alg.add(mb_val,
                              alg.mul(alg.constant(1 << k), local[MBB + k]))
-        cs.append(alg.sub(local[MB], mb_val))
+        yield alg.sub(local[MB], mb_val)
 
         # word-half accumulator: WACC' = MB'*BPOW' + (1-WSTART')*WACC
-        cs.append(alg.sub(
+        yield alg.sub(
             next_row[WACC],
             alg.add(alg.mul(next_row[MB], consts_next[HC_BPOW]),
                     alg.mul(alg.sub(one, consts_next[HC_WSTART]),
-                            local[WACC]))))
+                            local[WACC])))
         # word tie at half-end rows: WACC == blended MW half
         wend = alg.zero()
         blend = alg.zero()
@@ -170,13 +172,13 @@ class HeaderAir(Blake2bVarAir):
             wend = alg.add(wend, consts[HC_HSEL + q])
             blend = alg.add(blend, alg.mul(consts[HC_HSEL + q],
                                            local[MW + q]))
-        cs.append(alg.sub(alg.mul(wend, local[WACC]), blend))
+        yield alg.sub(alg.mul(wend, local[WACC]), blend)
 
         # block-number window byte pins (static rows 32..36)
         for k in range(5):
-            cs.append(alg.mul(consts[HC_BNSEL + k],
-                              alg.sub(local[MB],
-                                      alg.lift(publics[P_BN + k]))))
+            yield alg.mul(consts[HC_BNSEL + k],
+                          alg.sub(local[MB],
+                                  alg.lift(publics[P_BN + k])))
 
         # window step markers: d boolean; jump row pinned by CIDX
         len_p = publics[P_LEN]
@@ -191,9 +193,9 @@ class HeaderAir(Blake2bVarAir):
         ]
         for col, pos in positions:
             d = alg.sub(next_row[col], local[col])
-            cs.append(alg.sub(alg.mul(d, d), d))
-            cs.append(alg.mul(d, alg.sub(consts_next[HC_CIDX],
-                                         alg.lift(pos))))
+            yield alg.sub(alg.mul(d, d), d)
+            yield alg.mul(d, alg.sub(consts_next[HC_CIDX],
+                                     alg.lift(pos)))
 
         # γ-RLC window accumulators:
         #   A' = in'*(A*γ + MB') + (1-in')*A
@@ -204,10 +206,9 @@ class HeaderAir(Blake2bVarAir):
                 gamma = alg.lift(publics[gp])
                 upd = alg.add(alg.mul(alg.mul(local[acc], gamma), ins),
                               alg.mul(ins, next_row[MB]))
-                cs.append(alg.sub(
+                yield alg.sub(
                     next_row[acc],
-                    alg.add(upd, alg.mul(alg.sub(one, ins), local[acc]))))
-        return cs
+                    alg.add(upd, alg.mul(alg.sub(one, ins), local[acc])))
 
     def first_row(self, alg, local, publics, consts=()):
         cs = super().first_row(alg, local, publics, consts)
