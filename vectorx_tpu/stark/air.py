@@ -83,6 +83,73 @@ class ExtAlgebra:
         return self.constant(0)
 
 
+class GX(list):
+    """A GROUP of scalar machine cells (XCells) — the MachineBuilder-ring
+    counterpart of a leading group axis on tensor ring elements
+    (recursion_air.XAlgMB). Lives here so AIR constraint helpers can be
+    ring-generic without importing the recursion machinery."""
+
+
+def is_group_cells(e) -> bool:
+    return isinstance(e, GX)
+
+
+def stack_group(elems):
+    """Stack ring elements along a leading group axis: jnp.stack for
+    tensor rings, GX list for the machine ring (XCells = int tuples)."""
+    elems = list(elems)
+    e0 = elems[0]
+    if isinstance(e0, GX):
+        # group-of-groups: flatten in stack order (matches tensor
+        # semantics only for callers that immediately reduce; none today)
+        raise TypeError("stack_group over GX groups is not supported")
+    import numpy as _np
+    if (isinstance(e0, tuple) and len(e0) == 2
+            and isinstance(e0[0], (int, _np.integer))):
+        return GX(elems)
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
+
+
+def roll_group(e, k: int):
+    """Circular roll along the group axis (jnp.roll semantics: element i
+    of the result is element i-k of the input)."""
+    if isinstance(e, GX):
+        m = len(e)
+        k %= m
+        return GX(e[m - k:] + e[:m - k])
+    import jax
+    return jax.tree_util.tree_map(lambda x: jnp.roll(x, k, axis=0), e)
+
+
+def slice_group(e, a: int, b: int):
+    if isinstance(e, GX):
+        return GX(list(e)[a:b])
+    import jax
+    return jax.tree_util.tree_map(lambda x: x[a:b], e)
+
+
+def index_group(e, i: int):
+    """Single element of a group (a scalar ring element)."""
+    if isinstance(e, GX):
+        return e[i]
+    import jax
+    return jax.tree_util.tree_map(lambda x: x[i], e)
+
+
+def sum_group(e, alg=None):
+    """Σ over the group axis -> scalar ring element. The machine ring
+    needs `alg` (cells add via emitted rows)."""
+    if isinstance(e, GX):
+        acc = e[0]
+        for x in e[1:]:
+            acc = alg.add(acc, x)
+        return acc
+    if isinstance(e[0], tuple):   # ext ring: ((lo,hi),(lo,hi))
+        return (gl.sum_mod(e[0], axis=0), gl.sum_mod(e[1], axis=0))
+    return gl.sum_mod(e, axis=0)
+
+
 class Air:
     """Subclass and define the trace + constraints.
 

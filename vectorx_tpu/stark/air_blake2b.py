@@ -122,9 +122,9 @@ class Blake2bAir(_GroupedAirBase):
 
     def _val_slice(self, alg, g64, lohi: int):
         """Value of bits [32*lohi, 32*lohi+32) of a 64-group."""
-        import jax
-        sl = jax.tree.map(lambda x: x[32 * lohi:32 * lohi + 32], g64)
-        return self._sum0(alg.mul(sl, self._pw2(alg)))
+        from .air import slice_group
+        sl = slice_group(g64, 32 * lohi, 32 * lohi + 32)
+        return self._sum0(alg.mul(sl, self._pw2(alg)), alg)
 
     @staticmethod
     def _xor_g(alg, x, y):
@@ -268,8 +268,8 @@ class Blake2bAir(_GroupedAirBase):
                 val = alg.zero()
                 for i in range(32):
                     cbit = (hj >> (32 * h + i)) & 1
-                    import jax
-                    bit = jax.tree.map(lambda x: x[32 * h + i], xor_vv)
+                    from .air import index_group
+                    bit = index_group(xor_vv, 32 * h + i)
                     if cbit:
                         bit = alg.sub(one, bit)
                     val = alg.add(val, alg.mul(alg.constant(1 << i), bit))
@@ -292,7 +292,7 @@ class Blake2bAir(_GroupedAirBase):
                           St([alg.lift(publics[i]) for i in range(32)])))
         # length bits decompose the public length
         tval = self._sum0(alg.mul(St([local[T + i] for i in range(32)]),
-                                  self._pw2(alg)))
+                                  self._pw2(alg)), alg)
         cs.append(alg.sub(tval, alg.lift(publics[32])))
 
         # v initialisation
@@ -660,8 +660,9 @@ class Blake2bVarAir(Blake2bAir):
                                 alg.constant((iv >> 32) & M32)))
         iv4 = int(_IV[4])
         v12lo = alg.zero()
+        from .air import index_group
         for i in range(32):
-            bit = jax.tree.map(lambda x, i=i: x[i], ntb)
+            bit = index_group(ntb, i)
             if (iv4 >> i) & 1:
                 bit = alg.sub(one, bit)
             v12lo = alg.add(v12lo, alg.mul(alg.constant(1 << i), bit))
@@ -724,7 +725,7 @@ class Blake2bVarAir(Blake2bAir):
         yield alg.mul(not_last, alg.sub(nrg, rg))
 
         # t binding: sum(T) = LST ? length : 128*(c+1)
-        tval = self._sum0(alg.mul(tbits, self._pw2(alg)))
+        tval = self._sum0(alg.mul(tbits, self._pw2(alg)), alg)
         yield alg.sub(tval,
                       alg.add(alg.mul(local[LST], alg.lift(publics[0])),
                               alg.mul(alg.sub(one, local[LST]),
@@ -763,7 +764,8 @@ class Blake2bVarAir(Blake2bAir):
         iv4 = int(_IV[4])
         v12lo = alg.zero()
         for i in range(32):
-            bit = jax.tree.map(lambda x, i=i: x[i], tb)
+            from .air import index_group
+            bit = index_group(tb, i)
             if (iv4 >> i) & 1:
                 bit = alg.sub(one, bit)
             v12lo = alg.add(v12lo, alg.mul(alg.constant(1 << i), bit))

@@ -181,21 +181,23 @@ class HeaderAir(Blake2bVarAir):
                                   alg.lift(publics[P_BN + k])))
 
         # window step markers: d boolean; jump row pinned by CIDX
-        len_p = publics[P_LEN]
-        clen_p = publics[P_CLEN]
-        c32 = gl.full((), 32)
-        c64 = gl.full((), 64)
+        # (positions computed IN-RING from the public cells so the same
+        # code records on the recursion machine — publics are degree-0
+        # in every ring, so constraint degrees are unchanged)
+        len_x = alg.lift(publics[P_LEN])
+        clen_x = alg.lift(publics[P_CLEN])
+        c32 = alg.constant(32)
+        c64 = alg.constant(64)
         positions = [
-            (S1S, gl.add(c32, clen_p)),          # state root start
-            (S2S, gl.add(c64, clen_p)),          # state root end
-            (S1D, gl.sub(len_p, c32)),           # data root start
-            (S2D, len_p),                        # data root end
+            (S1S, alg.add(c32, clen_x)),         # state root start
+            (S2S, alg.add(c64, clen_x)),         # state root end
+            (S1D, alg.sub(len_x, c32)),          # data root start
+            (S2D, len_x),                        # data root end
         ]
         for col, pos in positions:
             d = alg.sub(next_row[col], local[col])
             yield alg.sub(alg.mul(d, d), d)
-            yield alg.mul(d, alg.sub(consts_next[HC_CIDX],
-                                     alg.lift(pos)))
+            yield alg.mul(d, alg.sub(consts_next[HC_CIDX], pos))
 
         # γ-RLC window accumulators:
         #   A' = in'*(A*γ + MB') + (1-in')*A
@@ -230,11 +232,12 @@ class HeaderAir(Blake2bVarAir):
         for base, acc_cols in ((P_SR, (SRA1, SRA2)),
                                (P_DR, (DRA1, DRA2))):
             for acc, gp in zip(acc_cols, (P_G1, P_G2)):
-                gamma = publics[gp]
-                rhs = gl.zeros(())
+                gamma_x = alg.lift(publics[gp])
+                rhs = alg.zero()
                 for j in range(32):
-                    rhs = gl.add(gl.mul(rhs, gamma), publics[base + j])
-                cs.append(alg.sub(local[acc], alg.lift(rhs)))
+                    rhs = alg.add(alg.mul(rhs, gamma_x),
+                                  alg.lift(publics[base + j]))
+                cs.append(alg.sub(local[acc], rhs))
         return cs
 
     # -- witness ---------------------------------------------------------

@@ -76,15 +76,13 @@ class Sha256CompressAir(Air):
 
     @staticmethod
     def _stack(elems):
-        import jax
-        import jax.numpy as jnp
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *elems)
+        from .air import stack_group
+        return stack_group(elems)
 
     @staticmethod
     def _roll(e, k):
-        import jax
-        import jax.numpy as jnp
-        return jax.tree.map(lambda x: jnp.roll(x, k, axis=0), e)
+        from .air import roll_group
+        return roll_group(e, k)
 
     @staticmethod
     def _mask0(e, keep):
@@ -97,18 +95,16 @@ class Sha256CompressAir(Air):
         return jax.tree.map(f, e)
 
     @staticmethod
-    def _sum0(e):
-        from ..field import goldilocks as _gl
-        if isinstance(e[0], tuple):   # ext ring: ((lo,hi),(lo,hi))
-            return (_gl.sum_mod(e[0], axis=0), _gl.sum_mod(e[1], axis=0))
-        return _gl.sum_mod(e, axis=0)
+    def _sum0(e, alg=None):
+        from .air import sum_group
+        return sum_group(e, alg)
 
     def _pw2(self, alg):
         return self._stack([alg.constant(1 << i) for i in range(32)])
 
     def _val_g(self, alg, bits_g):
         """Σ 2^i bits_i over the group axis."""
-        return self._sum0(alg.mul(bits_g, self._pw2(alg)))
+        return self._sum0(alg.mul(bits_g, self._pw2(alg)), alg)
 
     @staticmethod
     def _xor2_g(alg, x, y):

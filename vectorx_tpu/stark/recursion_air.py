@@ -51,7 +51,7 @@ import numpy as np
 from ..field import goldilocks as gl
 from ..field import ext
 from ..hashes import poseidon as ps
-from .air import Air
+from .air import Air, GX, stack_group
 
 P = gl.MODULUS
 W = ext.W
@@ -415,12 +415,9 @@ class XAlgMB:
 # The AIR over a recorded schedule
 # ---------------------------------------------------------------------------
 
-class GX(list):
-    """A GROUP of scalar machine cells (XCells) — the MachineBuilder-ring
-    counterpart of a leading group axis on tensor ring elements. Lets
-    RecursionAir's own constraint code run through XAlgMB, i.e. lets a
-    recursion proof verify ANOTHER recursion proof (log-depth reduce
-    trees, RECURSION.md phase 4/5)."""
+# GX now lives in air.py so AIR constraint helpers can be ring-generic
+# (lets RecursionAir's own code AND wide statement AIRs record through
+# XAlgMB — log-depth reduce trees, RECURSION.md phase 4/5).
 
 
 def _is_xcell(e) -> bool:
@@ -429,10 +426,7 @@ def _is_xcell(e) -> bool:
 
 
 def _stackring(elems):
-    elems = list(elems)
-    if _is_xcell(elems[0]):
-        return GX(elems)
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *elems)
+    return stack_group(elems)
 
 
 def _is_ext(e) -> bool:
