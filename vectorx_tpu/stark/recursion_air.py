@@ -819,6 +819,222 @@ class _TranscriptRec:
 
 
 # ---------------------------------------------------------------------------
+# Phase-5 streaming: transcript-replay binding for wide inner AIRs
+# ---------------------------------------------------------------------------
+#
+# Problem (RECURSION.md §Phase 5): the legacy recorder loads every ζ/gζ
+# opening up front and keeps it live until ALI/DEEP consume it — for a
+# 799-column HeaderAir that is ~4k simultaneously-live cells and the
+# K-register file (and its 3K one-hot selector constants) explodes.
+#
+# Fix: openings are loaded in 8-cell groups, absorbed into the transcript
+# and DIE immediately. After the transcript completes, the consume pass
+# re-witnesses each value where ALI/DEEP need it and REPLAYS the
+# transcript's opening segment with the re-witnessed cells: starting from
+# the captured sponge state S0 (right after the ζ squeeze) the replay
+# emits the exact same absorb-row sequence and must land on the captured
+# state S1 (the state β was squeezed from). Sponge-chain collision
+# resistance then binds every re-witnessed cell to the absorbed original
+# — the same computational argument that backs the Merkle caps. No
+# protocol change: prover/verifier transcripts are untouched.
+#
+# The replay is driven by a greedy cursor over the slot space (opening
+# cells in absorb order). ALI touches materialize cells lazily; the
+# cursor absorbs a replay chunk as soon as its 8 slots are materialized,
+# force-materializing gaps when back-pressure exceeds STREAM_SPILL. DEEP
+# S-sums fold at drain time (slot order == column order, so the running
+# β-power chains match the prover's weights exactly). Schedule depends
+# only on (inner_air, log_n, config) — touch order is the AIR's static
+# constraint-evaluation order, never a witness value.
+
+STREAM_SPILL = 64      # materialized-but-unabsorbed slots before gaps are
+                       # force-filled (bounds the register back-pressure)
+STREAM_MIN_CELLS = 1024  # auto-enable streaming above this opening count
+
+
+def _xpow_static(mb: MachineBuilder, x, e: int):
+    """x^e for a STATIC exponent e >= 0 (square-and-multiply)."""
+    one_x = (mb.const(1), mb.const(0))
+    if e == 0:
+        return one_x
+    acc = None
+    base = x
+    while True:
+        if e & 1:
+            acc = base if acc is None else mb.xmul(acc, base)
+        e >>= 1
+        if e == 0:
+            return acc
+        base = mb.xmul(base, base)
+
+
+class _LazyVec:
+    """Opening-vector handle: materializes (re, im) cells on first touch
+    through the shared _OpeningStreamer. Quacks like the list of XCells
+    the legacy recorder built eagerly."""
+
+    def __init__(self, streamer, vi: int, m: int):
+        self.st = streamer
+        self.vi = vi
+        self.m = m
+
+    def __len__(self):
+        return self.m
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self.m))]
+        if i < 0:
+            i += self.m
+        return self.st.touch(self.vi, i)
+
+    def __iter__(self):
+        for i in range(self.m):
+            yield self[i]
+
+
+class _OpeningStreamer:
+    """Slot-space manager for the streamed consume pass (see module-level
+    phase-5 notes above). Vectors are registered in transcript-absorb
+    order; slot layout per vector = m re-slots then m im-slots, matching
+    load order. Produces the DEEP S-sums and the replay-state equality."""
+
+    def __init__(self, mb: MachineBuilder, beta):
+        self.mb = mb
+        self.beta = beta
+        self.vecs = []          # (name, values[(re,im)], m)
+        self.cells = []         # per vec: [ (re_cell, im_cell) | None ]
+        self.slot_of = []       # global slot -> (vi, half, i)
+        self.block_of_slot = [] # global slot -> block id
+        self.blocks = []        # (vi, half) per block, in slot order
+        self.s0 = None          # 4 cells: transcript lanes 8..11 at seg start
+        self.s1 = None          # 12 cells: transcript state β was read from
+        self.head = 0
+        self.pressure = 0
+        self.frontier = -1      # last touched slot: non-forced drains
+                                # never materialize beyond it
+        self.vec_base = []      # vi -> first global slot of its re-block
+        self.first_chunk = True
+        self.finished = False
+        self.n_accesses = 0     # total handle reads (RAM-consume count
+                                # if re-witnessing per use)
+        self._acc = None        # current block accumulator (XCell)
+        self._pw = None         # current block running power (XCell)
+        self._block = -1        # current block id at the cursor
+        self.block_acc = {}     # block id -> closed accumulator
+        self.total = 0
+
+    def add_vec(self, name: str, values, m: int) -> _LazyVec:
+        vi = len(self.vecs)
+        self.vecs.append((name, values, m))
+        self.cells.append([None] * m)
+        self.vec_base.append(self.total)
+        for half in (0, 1):
+            bid = len(self.blocks)
+            self.blocks.append((vi, half))
+            for i in range(m):
+                self.slot_of.append((vi, half, i))
+                self.block_of_slot.append(bid)
+        self.total += 2 * m
+        return _LazyVec(self, vi, m)
+
+    # -- consume side -----------------------------------------------------
+
+    def touch(self, vi: int, i: int):
+        self.n_accesses += 1
+        cc = self.cells[vi][i]
+        if cc is None:
+            re, im = self.vecs[vi][1][i]
+            cc = (self.mb.loadw(re), self.mb.loadw(im))
+            self.cells[vi][i] = cc
+            self.pressure += 2
+            m = self.vecs[vi][2]
+            self.frontier = max(self.frontier, self.vec_base[vi] + m + i)
+            self._drain()
+        return cc
+
+    def _slot_cell(self, s: int):
+        vi, half, i = self.slot_of[s]
+        cc = self.cells[vi][i]
+        if cc is None:
+            return None
+        return cc[half]
+
+    def _materialize_slot(self, s: int) -> None:
+        vi, half, i = self.slot_of[s]
+        if self.cells[vi][i] is None:
+            re, im = self.vecs[vi][1][i]
+            self.cells[vi][i] = (self.mb.loadw(re), self.mb.loadw(im))
+            self.pressure += 2
+
+    def _drain(self, force: bool = False) -> None:
+        mb = self.mb
+        while self.head < self.total:
+            end = min(self.head + RATE, self.total)
+            slots = list(range(self.head, end))
+            ready = all(self._slot_cell(s) is not None for s in slots)
+            if not ready:
+                # fill gaps only under force, or when back-pressure is
+                # high AND the gap sits behind the touched frontier (so
+                # draining it actually releases pressure)
+                if not (force or (self.pressure > STREAM_SPILL
+                                  and self.head <= self.frontier)):
+                    return
+                for s in slots:
+                    self._materialize_slot(s)
+            # replay absorb row: mirrors the transcript's chunking of the
+            # opening segment exactly (cells at slot order, rest lanes
+            # L_COPY; the FIRST chunk restores capacity from S0)
+            chunk = [self._slot_cell(s) for s in slots]
+            modes = [(L_FREE, c) for c in chunk]
+            if self.first_chunk:
+                assert len(chunk) == RATE, "first opening chunk is full"
+                modes += [(L_FREE, c) for c in self.s0]
+            else:
+                modes += [(L_COPY, None)] * (WIDTH - len(chunk))
+            mb.absorb_then_permute(modes)
+            self.first_chunk = False
+            # fold the drained slots into their block S-accumulators
+            for s in slots:
+                bid = self.block_of_slot[s]
+                if bid != self._block:
+                    if self._block >= 0:
+                        self.block_acc[self._block] = self._acc
+                    self._block = bid
+                    self._acc = (mb.const(0), mb.const(0))
+                    self._pw = (mb.const(1), mb.const(0))
+                cell = self._slot_cell(s)
+                term = mb.xmul_base(self._pw, cell)
+                self._acc = mb.xadd(self._acc, term)
+                self._pw = mb.xmul(self._pw, self.beta)
+            self.pressure -= len(slots)
+            self.head = end
+
+    def _umul(self, x):
+        """u·x for u² = W: (a, b) -> (W·b, a)."""
+        return (self.mb.scale(x[1], W), x[0])
+
+    def s_sum(self, vi: int):
+        """Σ_i β^i · v_i over vector vi (Fp2) — requires finish()."""
+        assert self.finished
+        acc_re = self.block_acc[2 * vi]
+        acc_im = self.block_acc[2 * vi + 1]
+        return self.mb.xadd(acc_re, self._umul(acc_im))
+
+    def finish(self) -> None:
+        """Force-drain every slot, close the last block, and pin the
+        replayed sponge state to the captured S1 (the binding check)."""
+        if self.finished:
+            return
+        self._drain(force=True)
+        if self._block >= 0:
+            self.block_acc[self._block] = self._acc
+        for j in range(WIDTH):
+            self.mb.eq_lane(j, self.s1[j])
+        self.finished = True
+
+
+# ---------------------------------------------------------------------------
 # Full verification recorder
 # ---------------------------------------------------------------------------
 
@@ -890,7 +1106,8 @@ def _zero_proof(air: Air, log_n: int, config):
 
 def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
                         publics_cells: Sequence[int], log_n: int,
-                        config) -> None:
+                        config, stream: Optional[bool] = None,
+                        stats: Optional[dict] = None) -> None:
     """Emit the COMPLETE DEEP-ALI verification of `proof` as machine rows:
     transcript replay, ALI at ζ (incl. LogUp terms), Merkle membership of
     every opening, DEEP recomputation at the query points and the FRI
@@ -927,6 +1144,14 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
     w_lde = gl.primitive_root_of_unity(log_nlde)
     from . import fri as fri_mod
+
+    C = inner_air.num_cols
+    from .prover import num_aux_cols
+    A = num_aux_cols(len(lk_cols)) if has_lk else 0
+    n_open_cells = 2 * (2 * C + (2 * A if has_lk else 0)
+                        + (2 * n_consts if has_consts else 0) + n_chunks)
+    if stream is None:
+        stream = n_open_cells >= STREAM_MIN_CELLS
 
     tr = _TranscriptRec(mb)
     one = mb.const(1)
@@ -971,19 +1196,49 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     tr.observe(quot_cap)
     zeta = tr.squeeze_ext()
 
-    C = inner_air.num_cols
-    from .prover import num_aux_cols
-    A = num_aux_cols(len(lk_cols)) if has_lk else 0
-    tz = load_ext_vec(proof.trace_zeta, C)
-    tgz = load_ext_vec(proof.trace_gzeta, C)
-    if has_lk:
-        az = load_ext_vec(proof.aux_zeta, A)
-        agz = load_ext_vec(proof.aux_gzeta, A)
-    if has_consts:
-        cz = load_ext_vec(proof.const_zeta, n_consts)
-        cgz = load_ext_vec(proof.const_gzeta, n_consts)
-    qz = load_ext_vec(proof.quotient_zeta, n_chunks)
-    beta = tr.squeeze_ext()
+    if stream:
+        # phase-5 streaming: cells absorb chunk-wise and die; the consume
+        # pass re-witnesses them under the transcript-replay binding
+        st = _OpeningStreamer(mb, None)
+        st.s0 = [mb.mov_lane(RATE + j) for j in range(ps.CAPACITY)]
+
+        def load_vec_streamed(fp2_vec, m, name):
+            re = _np_int(fp2_vec[0])
+            im = _np_int(fp2_vec[1])
+            vals = [(int(re[i]), int(im[i])) for i in range(m)]
+            h = st.add_vec(name, vals, m)
+            flat = [int(re[i]) for i in range(m)] + [int(im[i])
+                                                     for i in range(m)]
+            for j in range(0, len(flat), RATE):
+                cells = [mb.loadw(v) for v in flat[j:j + RATE]]
+                tr.observe(cells)
+            return h
+
+        tz = load_vec_streamed(proof.trace_zeta, C, 'tz')
+        tgz = load_vec_streamed(proof.trace_gzeta, C, 'tgz')
+        if has_lk:
+            az = load_vec_streamed(proof.aux_zeta, A, 'az')
+            agz = load_vec_streamed(proof.aux_gzeta, A, 'agz')
+        if has_consts:
+            cz = load_vec_streamed(proof.const_zeta, n_consts, 'cz')
+            cgz = load_vec_streamed(proof.const_gzeta, n_consts, 'cgz')
+        qz = load_vec_streamed(proof.quotient_zeta, n_chunks, 'qz')
+        vi_q = len(st.vecs) - 1
+        tr._flush()
+        st.s1 = [mb.mov_lane(j) for j in range(WIDTH)]
+        beta = tr.squeeze_ext()
+        st.beta = beta
+    else:
+        tz = load_ext_vec(proof.trace_zeta, C)
+        tgz = load_ext_vec(proof.trace_gzeta, C)
+        if has_lk:
+            az = load_ext_vec(proof.aux_zeta, A)
+            agz = load_ext_vec(proof.aux_gzeta, A)
+        if has_consts:
+            cz = load_ext_vec(proof.const_zeta, n_consts)
+            cgz = load_ext_vec(proof.const_gzeta, n_consts)
+        qz = load_ext_vec(proof.quotient_zeta, n_chunks)
+        beta = tr.squeeze_ext()
 
     fri_caps: List[List[int]] = []
     fold_betas = []
@@ -1007,14 +1262,23 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         for b in rbits[:fri_cfg.pow_bits]:
             mb.assert_zero(b)
     idx_cells = tr.squeeze(q)
+    if stats is not None:
+        stats['rows_transcript'] = len(mb.rows)
 
     # -- ALI at ζ ---------------------------------------------------------
     alg = XAlgMB(mb)
     publics_x = [(c, zero) for c in publics_cells]
     consts_x = cz if has_consts else []
     consts_next_x = cgz if has_consts else []
-    ct = inner_air.transition(alg, tz, tgz, publics_x, consts_x,
-                              consts_next_x)
+    if stream:
+        # generator: constraint rows emit lazily inside comb() below, so
+        # each group's result cells fold into the ALI accumulator as soon
+        # as they exist (liveness-capped recording)
+        ct = inner_air.transition_iter(alg, tz, tgz, publics_x, consts_x,
+                                       consts_next_x)
+    else:
+        ct = inner_air.transition(alg, tz, tgz, publics_x, consts_x,
+                                  consts_next_x)
     cf = inner_air.first_row(alg, tz, publics_x, consts_x)
     cl = inner_air.last_row(alg, tz, publics_x, consts_x)
 
@@ -1088,49 +1352,86 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         opened_q = mb.xadd(opened_q, mb.xmul(zn_pow, qz[i]))
         zn_pow = mb.xmul(zn_pow, zn)
     mb.xeq(expected, opened_q)
+    if stats is not None:
+        stats['rows_after_ali'] = len(mb.rows)
+        if stream:
+            stats['touches'] = sum(1 for v in st.cells for c in v
+                                   if c is not None)
+            stats['accesses'] = st.n_accesses
+            stats['total_open'] = st.total
 
     # -- DEEP S-sums (query-independent ζ-side weighted sums) --------------
     g_zeta = mb.xscale(zeta, g_dom)
-    pw = one_x
-    S_z = zero_x
-    S_gz = zero_x
-    for c in range(C):
-        S_z = mb.xadd(S_z, mb.xmul(pw, tz[c]))
-        S_gz = mb.xadd(S_gz, mb.xmul(pw, tgz[c]))
-        pw = mb.xmul(pw, beta)
-    off1 = pw                                  # β^C
-    off2 = mb.xmul(off1, off1)                 # β^{2C}
-    if has_lk:
-        pwa = one_x
-        S_az = zero_x
-        S_agz = zero_x
-        for c in range(A):
-            S_az = mb.xadd(S_az, mb.xmul(pwa, az[c]))
-            S_agz = mb.xadd(S_agz, mb.xmul(pwa, agz[c]))
-            pwa = mb.xmul(pwa, beta)
-        off3 = mb.xmul(off2, pwa)              # β^{2C+A}
-        off4 = mb.xmul(off3, pwa)              # β^{2C+2A}
+    if stream:
+        # the streamer folded every β^i·v_i at drain time (same weights
+        # as the loops below); close it out and run the replay-binding
+        # equality against the captured transcript state
+        st.finish()
+        S_z = st.s_sum(0)
+        S_gz = st.s_sum(1)
+        off1 = _xpow_static(mb, beta, C)
+        off2 = _xpow_static(mb, beta, 2 * C)
+        if has_lk:
+            S_az = st.s_sum(2)
+            S_agz = st.s_sum(3)
+            off3 = _xpow_static(mb, beta, 2 * C + A)
+            off4 = _xpow_static(mb, beta, 2 * C + 2 * A)
+        else:
+            off3 = off4 = off2
+        if has_consts:
+            ci = 4 if has_lk else 2
+            S_cz = st.s_sum(ci)
+            S_cgz = st.s_sum(ci + 1)
+            base_e = 2 * C + (2 * A if has_lk else 0)
+            off_cz = off4
+            off_cgz = _xpow_static(mb, beta, base_e + n_consts)
+            off_q = _xpow_static(mb, beta, base_e + 2 * n_consts)
+        else:
+            off_cz = off_cgz = off_q = off4
+        S_q = st.s_sum(vi_q)
     else:
-        off3 = off4 = off2
-    if has_consts:
-        pwc = one_x
-        S_cz = zero_x
-        S_cgz = zero_x
-        for c in range(n_consts):
-            S_cz = mb.xadd(S_cz, mb.xmul(pwc, cz[c]))
-            S_cgz = mb.xadd(S_cgz, mb.xmul(pwc, cgz[c]))
-            pwc = mb.xmul(pwc, beta)
-        off_cz = off4                          # β^{2C+2A}
-        off_cgz = mb.xmul(off_cz, pwc)         # β^{2C+2A+Cc}
-        off_q = mb.xmul(off_cgz, pwc)          # β^{2C+2A+2Cc}
-    else:
-        off_cz = off_cgz = off_q = off4
-    pwq = one_x
-    S_q = zero_x
-    for i in range(n_chunks):
-        S_q = mb.xadd(S_q, mb.xmul(pwq, qz[i]))
-        pwq = mb.xmul(pwq, beta)
+        pw = one_x
+        S_z = zero_x
+        S_gz = zero_x
+        for c in range(C):
+            S_z = mb.xadd(S_z, mb.xmul(pw, tz[c]))
+            S_gz = mb.xadd(S_gz, mb.xmul(pw, tgz[c]))
+            pw = mb.xmul(pw, beta)
+        off1 = pw                                  # β^C
+        off2 = mb.xmul(off1, off1)                 # β^{2C}
+        if has_lk:
+            pwa = one_x
+            S_az = zero_x
+            S_agz = zero_x
+            for c in range(A):
+                S_az = mb.xadd(S_az, mb.xmul(pwa, az[c]))
+                S_agz = mb.xadd(S_agz, mb.xmul(pwa, agz[c]))
+                pwa = mb.xmul(pwa, beta)
+            off3 = mb.xmul(off2, pwa)              # β^{2C+A}
+            off4 = mb.xmul(off3, pwa)              # β^{2C+2A}
+        else:
+            off3 = off4 = off2
+        if has_consts:
+            pwc = one_x
+            S_cz = zero_x
+            S_cgz = zero_x
+            for c in range(n_consts):
+                S_cz = mb.xadd(S_cz, mb.xmul(pwc, cz[c]))
+                S_cgz = mb.xadd(S_cgz, mb.xmul(pwc, cgz[c]))
+                pwc = mb.xmul(pwc, beta)
+            off_cz = off4                          # β^{2C+2A}
+            off_cgz = mb.xmul(off_cz, pwc)         # β^{2C+2A+Cc}
+            off_q = mb.xmul(off_cgz, pwc)          # β^{2C+2A+2Cc}
+        else:
+            off_cz = off_cgz = off_q = off4
+        pwq = one_x
+        S_q = zero_x
+        for i in range(n_chunks):
+            S_q = mb.xadd(S_q, mb.xmul(pwq, qz[i]))
+            pwq = mb.xmul(pwq, beta)
 
+    if stats is not None:
+        stats['rows_after_ssums'] = len(mb.rows)
     # -- per-query checks --------------------------------------------------
     tra = _np_int(proof.trace_rows_a)
     trb = _np_int(proof.trace_rows_b)
@@ -1300,7 +1601,8 @@ def _pub_ints(publics) -> List[int]:
 
 
 def prove_recursive(inner_air: Air, inner_proof, inner_publics,
-                    inner_log_n: int, inner_config, outer_config):
+                    inner_log_n: int, inner_config, outer_config,
+                    stream: Optional[bool] = None):
     """ONE outer proof attesting `verifier.verify(inner_air, inner_proof,
     publics) == True` — fully in-AIR (transcript, Merkle, ALI, DEEP, FRI).
     Returns (outer_air, outer_proof, outer_publics). Outer publics ==
@@ -1309,7 +1611,7 @@ def prove_recursive(inner_air: Air, inner_proof, inner_publics,
     mb = MachineBuilder()
     cells = [mb.pin_public(v) for v in _pub_ints(inner_publics)]
     record_stark_verify(mb, inner_air, inner_proof, cells, inner_log_n,
-                        inner_config)
+                        inner_config, stream=stream)
     air = RecursionAir(mb)
     trace, pubs = air.make_trace()
     pubs_fp = [gl.to_fp(p) for p in pubs]
@@ -1318,18 +1620,20 @@ def prove_recursive(inner_air: Air, inner_proof, inner_publics,
 
 
 def outer_air_for(inner_air: Air, inner_log_n: int, inner_config,
-                  num_publics: int) -> RecursionAir:
+                  num_publics: int,
+                  stream: Optional[bool] = None) -> RecursionAir:
     """Rebuild the outer AIR from the CLAIM SHAPE alone (zero-filled proof)
     — what a verifier uses; its schedule must equal the prover's."""
     mb = MachineBuilder()
     cells = [mb.pin_public(0) for _ in range(num_publics)]
     record_stark_verify(mb, inner_air, _zero_proof(inner_air, inner_log_n,
                                                    inner_config),
-                        cells, inner_log_n, inner_config)
+                        cells, inner_log_n, inner_config, stream=stream)
     return RecursionAir(mb)
 
 
-def prove_reduce(children, links, expose, outer_config):
+def prove_reduce(children, links, expose, outer_config,
+                 stream: Optional[bool] = None):
     """Reduce node: verify MULTIPLE child proofs in one outer AIR with
     cross-child public links — the MapReduce reduce semantics of the
     reference (subchain_verification.rs:233-289: verify two children +
@@ -1353,7 +1657,8 @@ def prove_reduce(children, links, expose, outer_config):
         mb.eq_cells(cell_lists[ci][pi], cell_lists[cj][pj])
     for (air_i, proof_i, pubs_i, log_n_i, cfg_i), cells in zip(children,
                                                                cell_lists):
-        record_stark_verify(mb, air_i, proof_i, cells, log_n_i, cfg_i)
+        record_stark_verify(mb, air_i, proof_i, cells, log_n_i, cfg_i,
+                            stream=stream)
     air = RecursionAir(mb)
     trace, pubs = air.make_trace()
     pubs_fp = [gl.to_fp(p) for p in pubs]
@@ -1361,7 +1666,8 @@ def prove_reduce(children, links, expose, outer_config):
     return air, proof, pubs
 
 
-def reduce_air_for(children_shapes, links, expose) -> RecursionAir:
+def reduce_air_for(children_shapes, links, expose,
+                   stream: Optional[bool] = None) -> RecursionAir:
     """Verifier-side reduce AIR from claim shapes: children_shapes =
     [(air, log_n, config, num_publics)]."""
     mb = MachineBuilder()
@@ -1376,5 +1682,5 @@ def reduce_air_for(children_shapes, links, expose) -> RecursionAir:
     for (air_i, log_n_i, cfg_i, np_i), cells in zip(children_shapes,
                                                     cell_lists):
         record_stark_verify(mb, air_i, _zero_proof(air_i, log_n_i, cfg_i),
-                            cells, log_n_i, cfg_i)
+                            cells, log_n_i, cfg_i, stream=stream)
     return RecursionAir(mb)
