@@ -51,8 +51,7 @@ def hash_leaves(rows: gl.Fp) -> Digest:
     return ps.hash_many(rows)
 
 
-def _build_levels(rows: gl.Fp, cap_height: int) -> List[Digest]:
-    digests = hash_leaves(rows)
+def _levels_from_digests(digests: Digest, cap_height: int) -> List[Digest]:
     levels = [digests]
     while digests[0].shape[0] > (1 << cap_height):
         left = (digests[0][0::2], digests[1][0::2])
@@ -60,6 +59,10 @@ def _build_levels(rows: gl.Fp, cap_height: int) -> List[Digest]:
         digests = ps.hash_two_to_one(left, right)
         levels.append(digests)
     return levels
+
+
+def _build_levels(rows: gl.Fp, cap_height: int) -> List[Digest]:
+    return _levels_from_digests(hash_leaves(rows), cap_height)
 
 
 _build_jit = {}
@@ -80,6 +83,64 @@ def build(rows: gl.Fp, cap_height: int = 0) -> MerkleTree:
         levels = _build_jit[key](rows)
     else:
         levels = _build_levels(rows, cap_height)
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
+# -- column-major commitment with tiled leaf hashing -------------------------
+#
+# The prover's LDEs are COLUMN-major (w, n_lde). Committing them used to
+# transpose the whole matrix into a second full-size buffer and sponge all
+# n_lde rows at once — for wide AIRs at big LDEs that transposed copy (plus
+# the batched sponge state) is the first allocation to OOM a chip
+# (CLAUDE.md: ~800 cols at LDE rows >= 2^17 on one v5e). Here leaf hashing
+# streams over row tiles under lax.map: peak extra memory is one
+# (w, TILE) slice + its transpose + the (n, 4) digests.
+
+import os as _os
+
+TILE_ROWS = int(_os.environ.get("VX_MERKLE_TILE_ROWS", "8192"))
+TILE_MIN_CELLS = int(_os.environ.get("VX_MERKLE_TILE_MIN", str(1 << 25)))
+
+
+def _leaf_digests_tiled(cols: gl.Fp, tile: int) -> Digest:
+    import jax
+    w, n = cols[0].shape
+    nt = n // tile
+
+    def one(i):
+        lo = jax.lax.dynamic_slice(cols[0], (0, i * tile), (w, tile))
+        hi = jax.lax.dynamic_slice(cols[1], (0, i * tile), (w, tile))
+        return ps.hash_many((lo.T, hi.T))          # (tile, 4)
+
+    ds = jax.lax.map(one, jnp.arange(nt))          # (nt, tile, 4)
+    return (ds[0].reshape(n, 4), ds[1].reshape(n, 4))
+
+
+_build_cols_jit = {}
+
+
+def build_cols(cols: gl.Fp, cap_height: int = 0) -> MerkleTree:
+    """Commit the ROWS of a column-major (w, n) matrix. Small matrices
+    take the fused transpose path; large ones stream leaf hashing over
+    row tiles (bit-identical digests — same rows, same sponge)."""
+    w, n = cols[0].shape
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    tile = TILE_ROWS
+    if w * n < TILE_MIN_CELLS or n % tile or n <= tile:
+        return build((cols[0].T, cols[1].T), cap_height)
+    from .prover import phase_jit_enabled
+    import jax
+
+    def _go(c, ch=cap_height, t=tile):
+        return _levels_from_digests(_leaf_digests_tiled(c, t), ch)
+
+    if phase_jit_enabled():
+        key = (n, w, cap_height, tile)
+        if key not in _build_cols_jit:
+            _build_cols_jit[key] = jax.jit(_go)
+        levels = _build_cols_jit[key](cols)
+    else:
+        levels = _go(cols)
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 

@@ -191,9 +191,10 @@ def constant_vk(air: Air, log_n: int, config: "StarkConfig"):
         else:
             cfp = gl.to_fp(cvals)
             c_lde = pntt.coset_lde(cfp, config.rate_bits)
-            rows = (c_lde[0].T, c_lde[1].T)
-            tree = merkle.build(rows, cap_height=config.cap_height)
-            cache[key] = (tree, rows, cfp, c_lde)
+            # column-major commit (tiled leaf hashing above the size
+            # threshold); query rows are gathered from c_lde on demand
+            tree = merkle.build_cols(c_lde, cap_height=config.cap_height)
+            cache[key] = (tree, None, cfp, c_lde)
     return cache[key]
 
 
@@ -667,16 +668,18 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     vk = constant_vk(air, log_n, config)
     has_consts = vk is not None
     if has_consts:
-        vk_tree, vk_rows, cfp, c_lde = vk
+        vk_tree, _, cfp, c_lde = vk
         n_consts = cfp[0].shape[0]
     else:
-        vk_tree = vk_rows = cfp = c_lde = None
+        vk_tree = cfp = c_lde = None
         n_consts = 0
 
     # -- 1/2: trace LDE + commitment --------------------------------------
+    # column-major commit: no full transposed copy; leaf hashing tiles
+    # over row blocks above merkle.TILE_MIN_CELLS (the transposed-LDE
+    # Merkle alloc was the first OOM on one v5e for wide AIRs)
     trace_lde = (lde_fn or pntt.coset_lde)(trace, rate)   # (num_cols, N_lde)
-    trace_rows = (trace_lde[0].T, trace_lde[1].T)   # (N_lde, num_cols)
-    trace_tree = merkle.build(trace_rows, cap_height=config.cap_height)
+    trace_tree = merkle.build_cols(trace_lde, cap_height=config.cap_height)
 
     challenger.observe((jnp.stack([p[0] for p in publics]),
                         jnp.stack([p[1] for p in publics])))
@@ -689,15 +692,14 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     # -- LogUp aux phase (only when the AIR declares range lookups) --------
     lk_cols = air.lookup_range_columns()
     has_lk = len(lk_cols) > 0
-    aux_tree = aux_rows = aux_trace = aux_lde = gamma = None
+    aux_tree = aux_trace = aux_lde = gamma = None
     if has_lk:
         gamma = challenger.squeeze_ext(1)
         gamma = ((gamma[0][0][0], gamma[0][1][0]),
                  (gamma[1][0][0], gamma[1][1][0]))
         aux_trace = _build_aux_trace(trace, lk_cols, gamma, n)
         aux_lde = pntt.coset_lde(aux_trace, rate)
-        aux_rows = (aux_lde[0].T, aux_lde[1].T)
-        aux_tree = merkle.build(aux_rows, cap_height=config.cap_height)
+        aux_tree = merkle.build_cols(aux_lde, cap_height=config.cap_height)
         challenger.observe_digests(aux_tree.cap)
 
     alpha = challenger.squeeze_ext(1)
@@ -707,9 +709,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     quot_cols, chunk_evals_lde, chunk_evals_sub = _quotient_phase(
         air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde)
     n_chunks = num_quotient_chunks(air)
-    quot_cols_lo, quot_cols_hi = quot_cols
-    quot_rows = (quot_cols_lo.T, quot_cols_hi.T)              # (N_lde, 2*chunks)
-    quot_tree = merkle.build(quot_rows, cap_height=config.cap_height)
+    quot_tree = merkle.build_cols(quot_cols, cap_height=config.cap_height)
     challenger.observe_digests(quot_tree.cap)
 
     zeta = challenger.squeeze_ext(1)
@@ -803,8 +803,8 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
                else _open_queries_raw)
     ((tra, tpa), (trb, tpb), (qra, qpa), (qrb, qpb), aux_opens,
      const_opens) = open_fn(
-        trace_tree, trace_rows, quot_tree, quot_rows,
-        aux_tree, aux_rows, vk_tree, vk_rows, idx_a, idx_b)
+        trace_tree, trace_lde, quot_tree, quot_cols,
+        aux_tree, aux_lde, vk_tree, c_lde, idx_a, idx_b)
     if has_lk:
         (ara, apa), (arb, apb) = aux_opens
     else:
@@ -931,26 +931,28 @@ def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, const_lde, ch_stack,
 _deep_phase_jit = jax.jit(_deep_phase_raw, static_argnames=("log_n", "rate"))
 
 
-def _open_queries_raw(trace_tree, trace_rows, quot_tree, quot_rows,
-                      aux_tree, aux_rows, vk_tree, vk_rows, idx_a, idx_b):
-    """Open every committed tree at both query-index halves."""
-    def open_rows(tree, rows, idx):
-        leaf = (rows[0][idx], rows[1][idx])
+def _open_queries_raw(trace_tree, trace_cols, quot_tree, quot_cols,
+                      aux_tree, aux_cols, vk_tree, vk_cols, idx_a, idx_b):
+    """Open every committed tree at both query-index halves. Committed
+    matrices arrive COLUMN-major (w, n_lde) — query rows are gathered,
+    never the full transpose (memory: q×w per tree)."""
+    def open_rows(tree, cols, idx):
+        leaf = (cols[0][:, idx].T, cols[1][:, idx].T)
         paths = jax.vmap(lambda i: merkle.prove(tree, i))(idx)
         return leaf, paths
 
-    out = (open_rows(trace_tree, trace_rows, idx_a),
-           open_rows(trace_tree, trace_rows, idx_b),
-           open_rows(quot_tree, quot_rows, idx_a),
-           open_rows(quot_tree, quot_rows, idx_b))
+    out = (open_rows(trace_tree, trace_cols, idx_a),
+           open_rows(trace_tree, trace_cols, idx_b),
+           open_rows(quot_tree, quot_cols, idx_a),
+           open_rows(quot_tree, quot_cols, idx_b))
     aux = None
     if aux_tree is not None:
-        aux = (open_rows(aux_tree, aux_rows, idx_a),
-               open_rows(aux_tree, aux_rows, idx_b))
+        aux = (open_rows(aux_tree, aux_cols, idx_a),
+               open_rows(aux_tree, aux_cols, idx_b))
     consts = None
     if vk_tree is not None:
-        consts = (open_rows(vk_tree, vk_rows, idx_a),
-                  open_rows(vk_tree, vk_rows, idx_b))
+        consts = (open_rows(vk_tree, vk_cols, idx_a),
+                  open_rows(vk_tree, vk_cols, idx_b))
     return out + (aux, consts)
 
 
