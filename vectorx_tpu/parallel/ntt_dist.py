@@ -134,6 +134,69 @@ def ntt_sharded(x: gl.Fp, mesh: Mesh, axis: str = "batch",
     return out
 
 
+def coset_intt_sharded(evals: gl.Fp, shift: int, mesh: Mesh,
+                       axis: str = "batch") -> gl.Fp:
+    """poly/ntt.coset_intt via the distributed four-step transform:
+    coefficients of the poly whose evals on shift*H are given."""
+    from ..poly import ntt as pntt
+    flat = evals[0].ndim == 1
+    ev = ((evals[0][None, :], evals[1][None, :]) if flat else evals)
+    coeffs = _run(ev, mesh, axis, inverse=True)
+    n = coeffs[0].shape[-1]
+    sp = pntt._shift_powers(n, pow(shift % P, P - 2, P))
+    out = gl.mul(coeffs, (jnp.asarray(sp[0]), jnp.asarray(sp[1])))
+    if flat:
+        return out[0][0], out[1][0]
+    return out
+
+
+def coeffs_to_coset_evals_sharded(coeffs: gl.Fp, rate_bits: int, mesh: Mesh,
+                                  axis: str = "batch",
+                                  shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR
+                                  ) -> gl.Fp:
+    """poly/ntt.coeffs_to_coset_evals via the distributed transform."""
+    from ..poly import ntt as pntt
+    flat = coeffs[0].ndim == 1
+    cf = ((coeffs[0][None, :], coeffs[1][None, :]) if flat else coeffs)
+    n = cf[0].shape[-1]
+    n_ext = n << rate_bits
+    sp = pntt._shift_powers(n, shift % P)
+    scaled = gl.mul(cf, (jnp.asarray(sp[0]), jnp.asarray(sp[1])))
+    padded = (jnp.pad(scaled[0], ((0, 0), (0, n_ext - n))),
+              jnp.pad(scaled[1], ((0, 0), (0, n_ext - n))))
+    out = _run(padded, mesh, axis, inverse=False)
+    if flat:
+        return out[0][0], out[1][0]
+    return out
+
+
+class ShardedNttOps:
+    """The full prover NTT surface over a device mesh — plug into
+    prover.prove via ``lde_fn=ops.coset_lde, ntt_ops=ops`` so BOTH the
+    trace/aux blowups and the quotient-phase NTT tail (coset INTT, chunk
+    coset re-evals, subgroup evals) ride the distributed four-step
+    transform (ROADMAP §4; VERDICT r3 item 8). Bit-exact vs poly/ntt."""
+
+    def __init__(self, mesh: Mesh, axis: str = "batch"):
+        self.mesh = mesh
+        self.axis = axis
+
+    def coset_lde(self, evals: gl.Fp, rate_bits: int) -> gl.Fp:
+        return coset_lde_sharded(evals, rate_bits, self.mesh, self.axis)
+
+    def coset_intt(self, evals: gl.Fp, shift: int) -> gl.Fp:
+        return coset_intt_sharded(evals, shift, self.mesh, self.axis)
+
+    def coeffs_to_coset_evals(self, coeffs: gl.Fp, rate_bits: int,
+                              shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR
+                              ) -> gl.Fp:
+        return coeffs_to_coset_evals_sharded(coeffs, rate_bits, self.mesh,
+                                             self.axis, shift)
+
+    def ntt(self, x: gl.Fp) -> gl.Fp:
+        return ntt_sharded(x, self.mesh, self.axis)
+
+
 def coset_lde_sharded(evals: gl.Fp, rate_bits: int, mesh: Mesh,
                       axis: str = "batch",
                       shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gl.Fp:

@@ -337,15 +337,46 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
     return cols_lo, cols_hi
 
 
+def quotient_tail(quotient, n: int, n_chunks: int, rate: int, shift: int,
+                  intt_fn=None, c2e_fn=None, ntt_fn=None):
+    """Quotient codeword -> (quot_cols, chunk_evals_lde, chunk_evals_sub):
+    coset INTT, degree-N chunk split, per-chunk coset/subgroup re-evals.
+    The NTT entry points are injectable — prover.prove(ntt_ops=...) routes
+    them through parallel/ntt_dist for multi-chip quotient NTTs
+    (ROADMAP §4: the second half of >1-chip single-proof scaling)."""
+    intt_fn = intt_fn or pntt.coset_intt
+    c2e_fn = c2e_fn or pntt.coeffs_to_coset_evals
+    ntt_fn = ntt_fn or pntt.ntt
+    q_coeffs_re = intt_fn(quotient[0], shift)
+    q_coeffs_im = intt_fn(quotient[1], shift)
+    chunk_evals_lde, chunk_evals_sub = [], []
+    for i in range(n_chunks):
+        cre = (q_coeffs_re[0][i * n:(i + 1) * n],
+               q_coeffs_re[1][i * n:(i + 1) * n])
+        cim = (q_coeffs_im[0][i * n:(i + 1) * n],
+               q_coeffs_im[1][i * n:(i + 1) * n])
+        chunk_evals_lde.append((c2e_fn(cre, rate, shift),
+                                c2e_fn(cim, rate, shift)))
+        chunk_evals_sub.append((ntt_fn(cre), ntt_fn(cim)))
+    quot_cols_lo = jnp.stack(
+        [c[j][0] for c in chunk_evals_lde for j in (0, 1)])
+    quot_cols_hi = jnp.stack(
+        [c[j][1] for c in chunk_evals_lde for j in (0, 1)])
+    return (quot_cols_lo, quot_cols_hi), chunk_evals_lde, chunk_evals_sub
+
+
 def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
-                       n_lookups: int):
+                       n_lookups: int, with_tail: bool = True):
     """Build the (traceable) quotient-phase function for one AIR/shape.
 
     ONE jitted program covers: constraint evaluation over the LDE domain,
     lookup constraint evaluation, α-combination, vanishing division, chunk
     split + re-evaluation. Keeping this under a single jit is the
     difference between ~10 device dispatches and ~10,000 eager ones per
-    prove (the dominant prover cost on the axon tunnel)."""
+    prove (the dominant prover cost on the axon tunnel).
+
+    with_tail=False stops at the quotient codeword — the multi-chip path
+    runs the NTT tail through sharded transforms outside this program."""
     n = 1 << log_n
     n_lde = n << rate
     blowup = 1 << rate
@@ -558,25 +589,11 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
         q_l = ext.mul_base(cl_comb, inv_x_minus_glast)
         q_e = ext.mul_base(ce_comb, inv_zh)              # every-row class
         quotient = ext.add(ext.add(ext.add(q_t, q_f), q_l), q_e)
+        if not with_tail:
+            return quotient
 
         # split into degree-N chunks; evaluate on coset LDE + subgroup
-        q_coeffs_re = pntt.coset_intt(quotient[0], shift)
-        q_coeffs_im = pntt.coset_intt(quotient[1], shift)
-        chunk_evals_lde, chunk_evals_sub = [], []
-        for i in range(n_chunks):
-            cre = (q_coeffs_re[0][i * n:(i + 1) * n],
-                   q_coeffs_re[1][i * n:(i + 1) * n])
-            cim = (q_coeffs_im[0][i * n:(i + 1) * n],
-                   q_coeffs_im[1][i * n:(i + 1) * n])
-            chunk_evals_lde.append(
-                (pntt.coeffs_to_coset_evals(cre, rate, shift),
-                 pntt.coeffs_to_coset_evals(cim, rate, shift)))
-            chunk_evals_sub.append((pntt.ntt(cre), pntt.ntt(cim)))
-        quot_cols_lo = jnp.stack(
-            [c[j][0] for c in chunk_evals_lde for j in (0, 1)])
-        quot_cols_hi = jnp.stack(
-            [c[j][1] for c in chunk_evals_lde for j in (0, 1)])
-        return (quot_cols_lo, quot_cols_hi), chunk_evals_lde, chunk_evals_sub
+        return quotient_tail(quotient, n, n_chunks, rate, shift)
 
     return fn
 
@@ -626,32 +643,52 @@ def _phase_cache(air: Air, attr: str, shared: dict) -> dict:
 
 
 def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
-                    publics, alpha, gamma, aux_lde):
-    """Per-(air, shape) cached (optionally jitted) quotient phase."""
+                    publics, alpha, gamma, aux_lde, ntt_ops=None):
+    """Per-(air, shape) cached (optionally jitted) quotient phase.
+
+    ntt_ops (parallel/ntt_dist.ShardedNttOps or compatible) reroutes the
+    quotient NTT tail through sharded transforms: the codeword is built
+    by the (jittable) constraint program, the INTT/chunk re-evals run as
+    mesh collectives outside it — bit-exact vs the fused path."""
     has_lk = len(air.lookup_range_columns()) > 0
     cache = _phase_cache(air, "_vx_qjit", _SHARED_QJIT)
-    key = (log_n, rate, len(publics), phase_jit_enabled())
+    with_tail = ntt_ops is None
+    key = (log_n, rate, len(publics), phase_jit_enabled(), with_tail)
     if key not in cache:
         fn = _quotient_phase_fn(air, log_n, rate, has_lk,
-                                len(air.lookup_range_columns()))
+                                len(air.lookup_range_columns()),
+                                with_tail=with_tail)
         cache[key] = jax.jit(fn) if phase_jit_enabled() else fn
     if has_lk:
-        return cache[key](trace_lde, cfp, publics, alpha, gamma, aux_lde)
-    # gamma/aux unused in the non-lookup trace; pass static placeholders
-    unit = ext.zeros(())
-    dummy_aux = (jnp.zeros((0, 1 << (log_n + rate)), jnp.uint32),) * 2
-    return cache[key](trace_lde, cfp, publics, alpha, unit, dummy_aux)
+        out = cache[key](trace_lde, cfp, publics, alpha, gamma, aux_lde)
+    else:
+        # gamma/aux unused in the non-lookup trace; static placeholders
+        unit = ext.zeros(())
+        dummy_aux = (jnp.zeros((0, 1 << (log_n + rate)), jnp.uint32),) * 2
+        out = cache[key](trace_lde, cfp, publics, alpha, unit, dummy_aux)
+    if with_tail:
+        return out
+    n = 1 << log_n
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    return quotient_tail(out, n, num_quotient_chunks(air), rate, shift,
+                         intt_fn=ntt_ops.coset_intt,
+                         c2e_fn=ntt_ops.coeffs_to_coset_evals,
+                         ntt_fn=ntt_ops.ntt)
 
 
 def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
           challenger: Challenger | None = None,
-          lde_fn=None) -> StarkProof:
+          lde_fn=None, ntt_ops=None) -> StarkProof:
     """trace: (num_cols, N) base field; publics: list of scalar Fp.
 
     ``lde_fn(trace, rate) -> trace_lde`` overrides the trace-domain blowup
     — the multi-chip seam: parallel/ntt_dist.coset_lde_sharded runs the
     butterfly-partitioned NTT (all_to_all at the four-step transpose)
-    across a device mesh for traces too large for one chip."""
+    across a device mesh for traces too large for one chip. It also
+    serves the aux (LogUp) blowup. ``ntt_ops`` additionally shards the
+    QUOTIENT-phase NTTs (coset INTT + chunk re-evals) — with both set, a
+    single proof's NTT work runs end to end on >1 chip
+    (parallel/ntt_dist.ShardedNttOps bundles all of them)."""
     if challenger is None:
         challenger = Challenger.new()
     num_cols, n = trace[0].shape
@@ -698,7 +735,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         gamma = ((gamma[0][0][0], gamma[0][1][0]),
                  (gamma[1][0][0], gamma[1][1][0]))
         aux_trace = _build_aux_trace(trace, lk_cols, gamma, n)
-        aux_lde = pntt.coset_lde(aux_trace, rate)
+        aux_lde = (lde_fn or pntt.coset_lde)(aux_trace, rate)
         aux_tree = merkle.build_cols(aux_lde, cap_height=config.cap_height)
         challenger.observe_digests(aux_tree.cap)
 
@@ -707,7 +744,8 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
 
     # -- 3/4: constraints + quotient (ONE jitted program per air/shape) ----
     quot_cols, chunk_evals_lde, chunk_evals_sub = _quotient_phase(
-        air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde)
+        air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde,
+        ntt_ops=ntt_ops)
     n_chunks = num_quotient_chunks(air)
     quot_tree = merkle.build_cols(quot_cols, cap_height=config.cap_height)
     challenger.observe_digests(quot_tree.cap)
