@@ -492,13 +492,21 @@ def _mds_grouped(sb, alg=None):
     return comp(sb)
 
 
+BANK_W = 16   # registers per selector bank (port selects are 2-level:
+              # bank one-hot × offset one-hot — degree 3 with the
+              # register read, and 3·(K/16+16) constant columns instead
+              # of 3·K one-hots, which dominated the area for big-K
+              # machines: a K=2875 recording needed 8.6k selector consts)
+
+
 class RecursionAir(Air):
     """Proves execution of a MachineBuilder program.
 
     Committed columns: h[12] | x3[12] | x7[12] | R[K] | A B C.
     Constant columns: c_round Ff Pp | c2[12] c3[12] rc[12] | op flags
-    (load mul axpy bit) zp lit | hsel[12] | asel[K] bsel[K] wsel[K] |
-    osel[num_publics].
+    (load mul axpy bit) zp lit | hsel[12] | banked port selectors
+    (a/b/w: bank[NB] + offset[BANK_W] each) | osel[num_publics].
+    Port select k decomposes as bank[k // BANK_W] · off[k % BANK_W].
     """
 
     max_constraint_degree = 3
@@ -514,6 +522,8 @@ class RecursionAir(Air):
             n <<= 1
         self.n_rows = n
         K = self.K
+        self.NB = -(-K // BANK_W)       # selector banks
+        NB = self.NB
         self.COL_H = 0
         self.COL_X3 = 12
         self.COL_X7 = 24
@@ -532,10 +542,13 @@ class RecursionAir(Air):
             39, 40, 41, 42, 43
         self.C_LIT = 44
         self.C_HSEL = 45
-        self.C_ASEL = 57
-        self.C_BSEL = 57 + K
-        self.C_WSEL = 57 + 2 * K
-        self.C_OSEL = 57 + 3 * K
+        self.C_ABANK = 57
+        self.C_AOFF = 57 + NB
+        self.C_BBANK = self.C_AOFF + BANK_W
+        self.C_BOFF = self.C_BBANK + NB
+        self.C_WBANK = self.C_BOFF + BANK_W
+        self.C_WOFF = self.C_WBANK + NB
+        self.C_OSEL = self.C_WOFF + BANK_W
         self.num_consts = self.C_OSEL + self.num_publics
 
     # -- schedule -> constant columns -------------------------------------
@@ -586,11 +599,17 @@ class RecursionAir(Air):
                 if isinstance(row.a, tuple):
                     out[self.C_HSEL + row.a[1], i] = 1
                 elif row.a is not None:
-                    out[self.C_ASEL + self.reg[row.a], i] = 1
+                    k = self.reg[row.a]
+                    out[self.C_ABANK + k // BANK_W, i] = 1
+                    out[self.C_AOFF + k % BANK_W, i] = 1
                 if row.b is not None:
-                    out[self.C_BSEL + self.reg[row.b], i] = 1
+                    k = self.reg[row.b]
+                    out[self.C_BBANK + k // BANK_W, i] = 1
+                    out[self.C_BOFF + k % BANK_W, i] = 1
                 if self.reg[row.cell] >= 0:
-                    out[self.C_WSEL + self.reg[row.cell], i] = 1
+                    k = self.reg[row.cell]
+                    out[self.C_WBANK + k // BANK_W, i] = 1
+                    out[self.C_WOFF + k % BANK_W, i] = 1
         # pad rows: registers copy (wsel=0), hash copies
         for i in range(len(self.mb.rows), n_rows):
             for j in range(WIDTH):
@@ -642,9 +661,18 @@ class RecursionAir(Air):
 
         regs = _stackring([local[self.COL_R + k] for k in range(K)])
         regs_n = _stackring([next_row[self.COL_R + k] for k in range(K)])
-        asel = _stackring([consts[self.C_ASEL + k] for k in range(K)])
-        bsel = _stackring([consts[self.C_BSEL + k] for k in range(K)])
-        wsel = _stackring([consts[self.C_WSEL + k] for k in range(K)])
+
+        def banked(cb, co):
+            """(K,) select group: sel_k = bank[k//BW]·off[k%BW] — the
+            bank/off columns are LISTED with repetition, so only NB+16
+            constant columns exist however large K is."""
+            bank = _stackring([consts[cb + k // BANK_W] for k in range(K)])
+            off = _stackring([consts[co + k % BANK_W] for k in range(K)])
+            return alg.mul(bank, off)
+
+        asel = banked(self.C_ABANK, self.C_AOFF)
+        bsel = banked(self.C_BBANK, self.C_BOFF)
+        wsel = banked(self.C_WBANK, self.C_WOFF)
         hsel = _stackring([consts[self.C_HSEL + j] for j in range(WIDTH)])
 
         A = local[self.COL_A]
