@@ -1,11 +1,16 @@
 """Multi-host (DCN) seam: 2 real OS processes, jax.distributed, a
-(dcn=2, batch=4) global mesh, and a sharded subchain verification whose
-adjacency collective crosses the process boundary (SURVEY.md §2.4)."""
+(dcn=2, batch=4) global mesh, a sharded subchain verification whose
+adjacency collective crosses the process boundary, AND map PROOFS
+dispatched across the DCN axis — each process proves one chain shard on
+its host-local devices, the blobs cross the host boundary (handoff dir
+standing in for the platform RPC), and one process reduces them to a
+single aggregate proof it verifies (SURVEY.md §2.3.1/§2.4)."""
 
 import os
 import socket
 import subprocess
 import sys
+import tempfile
 
 
 def _free_port() -> int:
@@ -24,16 +29,19 @@ def test_two_process_dcn_demo():
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = repo
 
-    procs = [subprocess.Popen([sys.executable, script, str(port), str(i)],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.PIPE, text=True)
-             for i in range(2)]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, err[-2000:]
-        outs.append(out)
+    with tempfile.TemporaryDirectory() as handoff:
+        procs = [subprocess.Popen(
+            [sys.executable, script, str(port), str(i), handoff],
+            env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, err[-2000:]
+            outs.append(out)
     assert "DCN_DEMO_OK" in outs[0], outs[0]
     # the root is a real value (cross-host merkle reduction happened)
-    root = outs[0].split("DCN_DEMO_OK", 1)[1].strip()
+    root = outs[0].split("DCN_DEMO_OK", 1)[1].split()[0]
     assert len(root) == 64 and root != "0" * 64
+    # a cross-host aggregated PROOF was produced and verified
+    assert "DCN_MAP_OK" in outs[0], outs[0]
