@@ -179,6 +179,23 @@ class Air:
         production prove otherwise pays ~10x the one-time compile."""
         return None
 
+    def ram_multiset(self):
+        """None, or (store_cidx, load_cidx, addr_cidx, val_col) declaring
+        a pair-multiset memory argument over the trace (phase-5 value
+        RAM, stark/RECURSION.md):
+
+            Σ_rows store(r)/(γ − addr(r) − δ·val(r))
+                == Σ_rows load(r)/(γ − addr(r) − δ·val(r))
+
+        store/load are 0/1 CONSTANT-column flags, addr a CONSTANT column
+        (addresses are schedule-static), val a COMMITTED column. γ, δ are
+        squeezed after the trace commitment (the only sound ordering for
+        a multiset over witness cells), so a value may be re-witnessed at
+        any later row: every load is forced to replay some store. Adds 4
+        aux base columns (inv re/im, running-sum re/im) to the LogUp aux
+        commitment."""
+        return None
+
     def lookup_range_columns(self) -> List[int]:
         """Trace column indices range-checked to [0, n_rows) via LogUp.
 

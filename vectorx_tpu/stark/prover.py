@@ -216,8 +216,34 @@ def constant_vk(air: Air, log_n: int, config: "StarkConfig"):
 # recursion_air.py) then never evaluates the ramp polynomial barycentric.
 
 
-def num_aux_cols(n_lookups: int) -> int:
-    return 2 * ((n_lookups + 1) // 2) + 6
+def num_aux_cols(n_lookups: int, has_ram: bool = False) -> int:
+    lk = (2 * ((n_lookups + 1) // 2) + 6) if n_lookups else 0
+    return lk + (4 if has_ram else 0)
+
+
+def total_aux_cols(air: Air) -> int:
+    return num_aux_cols(len(air.lookup_range_columns()),
+                        air.ram_multiset() is not None)
+
+
+def _ram_constraint_evals(gamma_r, delta_r, addr_x, st_x, ld_x, val_x,
+                          inv_v, s_val, s_next):
+    """Pair-multiset RAM constraints in any ext ring (air.ram_multiset —
+    the phase-5 value RAM). fp = γ − addr − δ·val;
+    fp·inv == st + ld (forces inv = 0 on inactive rows);
+    S' = S + (st − ld)·inv with S(0) = 0 and S wrapping to 0 —
+    Σ store-side 1/fp == Σ load-side 1/fp, i.e. every load replays some
+    store. All terms degree ≤ 2. Returns (every, transition, first,
+    last) constraint lists — appended AFTER the LogUp lists in every
+    consumer (prover quotient, verifier ALI, recursion record)."""
+    fp = ext.sub(gamma_r, ext.add(addr_x, ext.mul(delta_r, val_x)))
+    def_i = ext.sub(ext.mul(fp, inv_v), ext.add(st_x, ld_x))
+    contrib = ext.mul(ext.sub(st_x, ld_x), inv_v)
+    re_ = [def_i]
+    rt = [ext.sub(ext.sub(s_next, s_val), contrib)]
+    rf = [s_val]
+    rl = [ext.add(s_val, contrib)]
+    return re_, rt, rf, rl
 
 
 def _padded_lk(lk_cols):
@@ -337,6 +363,48 @@ def _build_aux_trace(trace: gl.Fp, lk_cols, gamma: ext.Fp2, n: int) -> gl.Fp:
     return cols_lo, cols_hi
 
 
+def _build_ram_aux(air: Air, trace: gl.Fp, gamma: ext.Fp2,
+                   delta_r: ext.Fp2, n: int) -> gl.Fp:
+    """(4, n) RAM aux base columns [inv.re | inv.im | S.re | S.im] for
+    air.ram_multiset (see _ram_constraint_evals)."""
+    st_c, ld_c, ad_c, val_col = air.ram_multiset()
+    cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
+    st = gl.to_fp(cvals[st_c])
+    ld = gl.to_fp(cvals[ld_c])
+    ad = gl.to_fp(cvals[ad_c])
+    val = (trace[0][val_col], trace[1][val_col])
+    gb = _broadcast_ext(gamma, (n,))
+    db = _broadcast_ext(delta_r, (n,))
+    fp = ext.sub(gb, ext.add(ext.from_base(ad), ext.mul_base(db, val)))
+    sel = gl.add(st, ld)
+    inv = ext.mul_base(ext.inv(fp), sel)          # 0 on inactive rows
+    contrib = ext.mul_base(inv, gl.sub(st, ld))
+
+    def exscan(fp_: gl.Fp) -> gl.Fp:
+        inc = jax.lax.associative_scan(gl.add, fp_)
+        lo = jnp.concatenate([jnp.zeros((1,), jnp.uint32), inc[0][:-1]])
+        hi = jnp.concatenate([jnp.zeros((1,), jnp.uint32), inc[1][:-1]])
+        return lo, hi
+
+    s_re = exscan(contrib[0])
+    s_im = exscan(contrib[1])
+    lo = jnp.stack([inv[0][0], inv[1][0], s_re[0], s_im[0]])
+    hi = jnp.stack([inv[0][1], inv[1][1], s_re[1], s_im[1]])
+    return lo, hi
+
+
+def _build_aux(air: Air, trace: gl.Fp, lk_cols, gamma: ext.Fp2,
+               delta_r, n: int) -> gl.Fp:
+    """Full aux trace: LogUp range block (if any) then the RAM block."""
+    parts = []
+    if lk_cols:
+        parts.append(_build_aux_trace(trace, lk_cols, gamma, n))
+    if air.ram_multiset() is not None:
+        parts.append(_build_ram_aux(air, trace, gamma, delta_r, n))
+    return (jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]))
+
+
 def quotient_tail(quotient, n: int, n_chunks: int, rate: int, shift: int,
                   intt_fn=None, c2e_fn=None, ntt_fn=None):
     """Quotient codeword -> (quot_cols, chunk_evals_lde, chunk_evals_sub):
@@ -385,8 +453,9 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
     g_last = pow(g_dom, n - 1, P)
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
     n_chunks = num_quotient_chunks(air)
+    ram_spec = air.ram_multiset()
 
-    def fn(trace_lde, cfp, publics, alpha, gamma, aux_lde):
+    def fn(trace_lde, cfp, publics, alpha, gamma, delta, aux_lde):
         alg = BaseVecAlgebra((n_lde,))
         local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
         # one roll of the whole (C, N_lde) tensor, then per-column views (a
@@ -445,6 +514,35 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
                 t_v, t_next_v)
         elif not has_lk:
             lk_e, lk_t, lk_f, lk_l = [], [], [], []
+
+        if ram_spec is not None:
+            assert not tiled_lk, "RAM + tiled-LogUp not supported yet"
+            st_c, ld_c, ad_c, val_col = ram_spec
+            base_r = (2 * kk2 + 6) if has_lk else 0
+
+            def ram_aux(i):
+                return ((aux_lde[0][base_r + i], aux_lde[1][base_r + i]),
+                        (aux_lde[0][base_r + i + 1],
+                         aux_lde[1][base_r + i + 1]))
+
+            inv_v = ram_aux(0)
+            sR_v = ram_aux(2)
+            sR_next = ((jnp.roll(aux_lde[0][base_r + 2], -blowup),
+                        jnp.roll(aux_lde[1][base_r + 2], -blowup)),
+                       (jnp.roll(aux_lde[0][base_r + 3], -blowup),
+                        jnp.roll(aux_lde[1][base_r + 3], -blowup)))
+            addr_x = ext.from_base((c_lde[0][ad_c], c_lde[1][ad_c]))
+            st_x = ext.from_base((c_lde[0][st_c], c_lde[1][st_c]))
+            ld_x = ext.from_base((c_lde[0][ld_c], c_lde[1][ld_c]))
+            val_x = ext.from_base((trace_lde[0][val_col],
+                                   trace_lde[1][val_col]))
+            r_e, r_t, r_f, r_l = _ram_constraint_evals(
+                gamma, delta, addr_x, st_x, ld_x, val_x, inv_v, sR_v,
+                sR_next)
+            lk_e = lk_e + r_e
+            lk_t = lk_t + r_t
+            lk_f = lk_f + r_f
+            lk_l = lk_l + r_l
 
         def _group_size(c):
             g = c[0].shape[:-1]
@@ -643,7 +741,8 @@ def _phase_cache(air: Air, attr: str, shared: dict) -> dict:
 
 
 def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
-                    publics, alpha, gamma, aux_lde, ntt_ops=None):
+                    publics, alpha, gamma, aux_lde, ntt_ops=None,
+                    delta_r=None):
     """Per-(air, shape) cached (optionally jitted) quotient phase.
 
     ntt_ops (parallel/ntt_dist.ShardedNttOps or compatible) reroutes the
@@ -651,6 +750,7 @@ def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
     by the (jittable) constraint program, the INTT/chunk re-evals run as
     mesh collectives outside it — bit-exact vs the fused path."""
     has_lk = len(air.lookup_range_columns()) > 0
+    has_aux = has_lk or air.ram_multiset() is not None
     cache = _phase_cache(air, "_vx_qjit", _SHARED_QJIT)
     with_tail = ntt_ops is None
     key = (log_n, rate, len(publics), phase_jit_enabled(), with_tail)
@@ -659,13 +759,16 @@ def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
                                 len(air.lookup_range_columns()),
                                 with_tail=with_tail)
         cache[key] = jax.jit(fn) if phase_jit_enabled() else fn
-    if has_lk:
-        out = cache[key](trace_lde, cfp, publics, alpha, gamma, aux_lde)
+    unit = ext.zeros(())
+    if has_aux:
+        out = cache[key](trace_lde, cfp, publics, alpha,
+                         gamma if gamma is not None else unit,
+                         delta_r if delta_r is not None else unit, aux_lde)
     else:
         # gamma/aux unused in the non-lookup trace; static placeholders
-        unit = ext.zeros(())
         dummy_aux = (jnp.zeros((0, 1 << (log_n + rate)), jnp.uint32),) * 2
-        out = cache[key](trace_lde, cfp, publics, alpha, unit, dummy_aux)
+        out = cache[key](trace_lde, cfp, publics, alpha, unit, unit,
+                         dummy_aux)
     if with_tail:
         return out
     n = 1 << log_n
@@ -726,15 +829,22 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         challenger.observe_digests(vk_tree.cap)
     challenger.observe_digests(trace_tree.cap)
 
-    # -- LogUp aux phase (only when the AIR declares range lookups) --------
+    # -- LogUp/RAM aux phase (range lookups and/or the pair-multiset
+    # value RAM — air.ram_multiset) ---------------------------------------
     lk_cols = air.lookup_range_columns()
     has_lk = len(lk_cols) > 0
-    aux_tree = aux_trace = aux_lde = gamma = None
-    if has_lk:
+    has_ram = air.ram_multiset() is not None
+    has_aux = has_lk or has_ram
+    aux_tree = aux_trace = aux_lde = gamma = delta_r = None
+    if has_aux:
         gamma = challenger.squeeze_ext(1)
         gamma = ((gamma[0][0][0], gamma[0][1][0]),
                  (gamma[1][0][0], gamma[1][1][0]))
-        aux_trace = _build_aux_trace(trace, lk_cols, gamma, n)
+        if has_ram:
+            delta_r = challenger.squeeze_ext(1)
+            delta_r = ((delta_r[0][0][0], delta_r[0][1][0]),
+                       (delta_r[1][0][0], delta_r[1][1][0]))
+        aux_trace = _build_aux(air, trace, lk_cols, gamma, delta_r, n)
         aux_lde = (lde_fn or pntt.coset_lde)(aux_trace, rate)
         aux_tree = merkle.build_cols(aux_lde, cap_height=config.cap_height)
         challenger.observe_digests(aux_tree.cap)
@@ -745,7 +855,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     # -- 3/4: constraints + quotient (ONE jitted program per air/shape) ----
     quot_cols, chunk_evals_lde, chunk_evals_sub = _quotient_phase(
         air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde,
-        ntt_ops=ntt_ops)
+        ntt_ops=ntt_ops, delta_r=delta_r)
     n_chunks = num_quotient_chunks(air)
     quot_tree = merkle.build_cols(quot_cols, cap_height=config.cap_height)
     challenger.observe_digests(quot_tree.cap)
@@ -758,9 +868,9 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     # quotient-chunk components (they share the domain, so the (ζ - x_j)
     # inverses and prefactor are computed once)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
-    n_aux = aux_trace[0].shape[0] if has_lk else 0
-    aux_part = [aux_trace[0]] if has_lk else []
-    aux_part_hi = [aux_trace[1]] if has_lk else []
+    n_aux = aux_trace[0].shape[0] if has_aux else 0
+    aux_part = [aux_trace[0]] if has_aux else []
+    aux_part_hi = [aux_trace[1]] if has_aux else []
     const_part = [cfp[0]] if has_consts else []
     const_part_hi = [cfp[1]] if has_consts else []
     stack_lo = jnp.concatenate(
@@ -775,16 +885,16 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         return ((op[0][0][a:b], op[0][1][a:b]), (op[1][0][a:b], op[1][1][a:b]))
 
     trace_zeta = _sl(opened, 0, num_cols)
-    aux_zeta = _sl(opened, num_cols, num_cols + n_aux) if has_lk else None
+    aux_zeta = _sl(opened, num_cols, num_cols + n_aux) if has_aux else None
     const_zeta = (_sl(opened, num_cols + n_aux,
                       num_cols + n_aux + n_consts) if has_consts else None)
-    if has_lk or has_consts:
+    if has_aux or has_consts:
         gstack = (jnp.concatenate([trace[0]] + aux_part + const_part),
                   jnp.concatenate([trace[1]] + aux_part_hi + const_part_hi))
         opened_g = pdom.barycentric_eval(gstack, g_zeta, log_n)
         trace_gzeta = _sl(opened_g, 0, num_cols)
         aux_gzeta = (_sl(opened_g, num_cols, num_cols + n_aux)
-                     if has_lk else None)
+                     if has_aux else None)
         const_gzeta = (_sl(opened_g, num_cols + n_aux,
                            num_cols + n_aux + n_consts)
                        if has_consts else None)
@@ -809,7 +919,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
 
     obs_ext(trace_zeta)
     obs_ext(trace_gzeta)
-    if has_lk:
+    if has_aux:
         obs_ext(aux_zeta)
         obs_ext(aux_gzeta)
     if has_consts:
@@ -843,7 +953,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
      const_opens) = open_fn(
         trace_tree, trace_lde, quot_tree, quot_cols,
         aux_tree, aux_lde, vk_tree, c_lde, idx_a, idx_b)
-    if has_lk:
+    if has_aux:
         (ara, apa), (arb, apb) = aux_opens
     else:
         ara = arb = apa = apb = None
@@ -860,7 +970,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
         trace_paths_a=tpa, trace_paths_b=tpb,
         quot_rows_a=qra, quot_rows_b=qrb,
         quot_paths_a=qpa, quot_paths_b=qpb,
-        aux_cap=aux_tree.cap if has_lk else None,
+        aux_cap=aux_tree.cap if has_aux else None,
         aux_zeta=aux_zeta, aux_gzeta=aux_gzeta,
         aux_rows_a=ara, aux_rows_b=arb,
         aux_paths_a=apa, aux_paths_b=apb,

@@ -1088,8 +1088,9 @@ def _zero_proof(air: Air, log_n: int, config):
     nl = fri_cfg.num_layers(log_nlde)
     fl = fri_cfg.final_poly_len
     lk = air.lookup_range_columns()
-    has_lk = len(lk) > 0
-    A = num_aux_cols(len(lk)) if has_lk else 0
+    has_ram = air.ram_multiset() is not None
+    has_lk = len(lk) > 0 or has_ram
+    A = num_aux_cols(len(lk), has_ram) if has_lk else 0
     Cc = np.asarray(air.constant_columns(n)).shape[0]
 
     def z(*shape):
@@ -1163,6 +1164,9 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     assert config.cap_height == 0, "recursion: cap_height 0 only (for now)"
     n_consts = int(np.asarray(inner_air.constant_columns(n)).shape[0])
     has_consts = n_consts > 0
+    assert inner_air.ram_multiset() is None, \
+        "recursion of RAM-multiset AIRs lands with phase-5 machine rows"
+
     lk_cols = inner_air.lookup_range_columns()
     has_lk = len(lk_cols) > 0
     lk_p = _padded_lk(lk_cols) if has_lk else []

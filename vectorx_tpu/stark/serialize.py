@@ -109,8 +109,9 @@ def empty_proof_like_shapes(air, config, log_n: int):
                             pow_nonce=fp())
 
     n_lk = len(air.lookup_range_columns())
-    has_lk = n_lk > 0
-    n_aux = pv.num_aux_cols(n_lk) if has_lk else 0
+    has_ram = air.ram_multiset() is not None
+    has_lk = n_lk > 0 or has_ram
+    n_aux = pv.num_aux_cols(n_lk, has_ram) if has_lk else 0
     import numpy as _np
     n_consts = _np.asarray(air.constant_columns(1 << log_n)).shape[0]
     has_consts = n_consts > 0

@@ -33,6 +33,7 @@ P = gl.MODULUS
 
 
 def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
+    ram_spec = air.ram_multiset()
     """Build the traceable ALI-at-ζ check for one AIR/shape.
 
     Constant columns arrive as OPENED values (const_zeta/const_gzeta) —
@@ -47,7 +48,7 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
     g_last = pow(g_dom, n - 1, P)
 
     def fn(trace_zeta, trace_gzeta, quotient_zeta, aux_zeta, aux_gzeta,
-           publics, alpha, zeta, gamma, const_zeta, const_gzeta):
+           publics, alpha, zeta, gamma, delta, const_zeta, const_gzeta):
         alg = ExtAlgebra()
         local = [_pick_ext(trace_zeta, c) for c in range(num_cols)]
         nxt = [_pick_ext(trace_gzeta, c) for c in range(num_cols)]
@@ -99,6 +100,25 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
                 t_z, t_gz)
         else:
             lk_e, lk_t, lk_f, lk_l = [], [], [], []
+
+        if ram_spec is not None:
+            from .prover import _ram_constraint_evals
+            st_c, ld_c, ad_c, val_col = ram_spec
+            base_r = (2 * kk2 + 6) if has_lk else 0
+            inv_z = _recombine_u(_pick_ext(aux_zeta, base_r),
+                                 _pick_ext(aux_zeta, base_r + 1))
+            sR_z = _recombine_u(_pick_ext(aux_zeta, base_r + 2),
+                                _pick_ext(aux_zeta, base_r + 3))
+            sR_gz = _recombine_u(_pick_ext(aux_gzeta, base_r + 2),
+                                 _pick_ext(aux_gzeta, base_r + 3))
+            r_e, r_t, r_f, r_l = _ram_constraint_evals(
+                gamma, delta, _pick_ext(const_zeta, ad_c),
+                _pick_ext(const_zeta, st_c), _pick_ext(const_zeta, ld_c),
+                _pick_ext(trace_zeta, val_col), inv_z, sR_z, sR_gz)
+            lk_e = lk_e + r_e
+            lk_t = lk_t + r_t
+            lk_f = lk_f + r_f
+            lk_l = lk_l + r_l
 
         import numpy as _np
 
@@ -158,9 +178,10 @@ _SHARED_VJIT: dict = {}
 
 
 def _ali_phase(air: Air, log_n: int, proof: StarkProof, publics, alpha,
-               zeta, gamma, n_consts: int) -> jax.Array:
+               zeta, gamma, n_consts: int, delta_r=None) -> jax.Array:
     from .prover import phase_jit_enabled, _phase_cache
     has_lk = len(air.lookup_range_columns()) > 0
+    has_aux = has_lk or air.ram_multiset() is not None
     cache = _phase_cache(air, "_vx_vjit", _SHARED_VJIT)
     key = (log_n, len(publics), phase_jit_enabled())
     if key not in cache:
@@ -169,15 +190,17 @@ def _ali_phase(air: Air, log_n: int, proof: StarkProof, publics, alpha,
     dummy = ((jnp.zeros((0,), jnp.uint32),) * 2,) * 2
     cz = proof.const_zeta if n_consts else dummy
     cgz = proof.const_gzeta if n_consts else dummy
-    if has_lk:
+    unit = ext.zeros(())
+    if has_aux:
         return cache[key](proof.trace_zeta, proof.trace_gzeta,
                           proof.quotient_zeta, proof.aux_zeta,
-                          proof.aux_gzeta, publics, alpha, zeta, gamma,
+                          proof.aux_gzeta, publics, alpha, zeta,
+                          gamma if gamma is not None else unit,
+                          delta_r if delta_r is not None else unit,
                           cz, cgz)
-    unit = ext.zeros(())
     return cache[key](proof.trace_zeta, proof.trace_gzeta,
                       proof.quotient_zeta, dummy, dummy,
-                      publics, alpha, zeta, unit, cz, cgz)
+                      publics, alpha, zeta, unit, unit, cz, cgz)
 
 
 def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
@@ -211,11 +234,17 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
 
     lk_cols = air.lookup_range_columns()
     has_lk = len(lk_cols) > 0
-    gamma = None
-    if has_lk:
+    has_ram = air.ram_multiset() is not None
+    has_aux = has_lk or has_ram
+    gamma = delta_r = None
+    if has_aux:
         gamma = challenger.squeeze_ext(1)
         gamma = ((gamma[0][0][0], gamma[0][1][0]),
                  (gamma[1][0][0], gamma[1][1][0]))
+        if has_ram:
+            delta_r = challenger.squeeze_ext(1)
+            delta_r = ((delta_r[0][0][0], delta_r[0][1][0]),
+                       (delta_r[1][0][0], delta_r[1][1][0]))
         challenger.observe_digests(proof.aux_cap)
 
     alpha = challenger.squeeze_ext(1)
@@ -230,7 +259,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
 
     obs_ext(proof.trace_zeta)
     obs_ext(proof.trace_gzeta)
-    if has_lk:
+    if has_aux:
         obs_ext(proof.aux_zeta)
         obs_ext(proof.aux_gzeta)
     if has_consts:
@@ -244,7 +273,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     # eager scalar version costs thousands of tiny dispatches) -------------
     import numpy as np
     ok = _ali_phase(air, log_n, proof, publics, alpha, zeta, gamma,
-                    n_consts)
+                    n_consts, delta_r)
     import os as _os
     if _os.environ.get("VX_VERIFY_DEBUG"):
         print("ALI:", bool(ok))
@@ -267,7 +296,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     ok = ok & check_rows(proof.trace_cap, idx_b, proof.trace_rows_b, proof.trace_paths_b)
     ok = ok & check_rows(proof.quotient_cap, idx_a, proof.quot_rows_a, proof.quot_paths_a)
     ok = ok & check_rows(proof.quotient_cap, idx_b, proof.quot_rows_b, proof.quot_paths_b)
-    if has_lk:
+    if has_aux:
         ok = ok & check_rows(proof.aux_cap, idx_a, proof.aux_rows_a,
                              proof.aux_paths_a)
         ok = ok & check_rows(proof.aux_cap, idx_b, proof.aux_rows_b,
@@ -283,7 +312,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
     x_all = pdom.domain_points(log_n_lde, shift)
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
 
-    n_aux = proof.aux_zeta[0][0].shape[0] if has_lk else 0
+    n_aux = proof.aux_zeta[0][0].shape[0] if has_aux else 0
     n_terms = 2 * num_cols + 2 * n_aux + 2 * n_consts + n_chunks
     betas_arr = _alpha_power_array(beta, n_terms)
 
@@ -301,7 +330,7 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
         F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
                                       _slice_ext(betas_arr, num_cols, 2 * num_cols)))
         kbase = 2 * num_cols
-        if has_lk:
+        if has_aux:
             av = ext.from_base((aux_rows[0].T, aux_rows[1].T))   # (A, q)
             diff_az = ext.sub(av, _ext_col(proof.aux_zeta))
             F = ext.add(F, _weighted_sum0(
