@@ -14,30 +14,34 @@ CFG = prover.StarkConfig(rate_bits=2, num_queries=6, final_poly_len=4)
 
 
 class RamAir(Air):
-    """One committed value column; store/load/addr flags in consts.
+    """One committed value column; mult/load/addr/active flags in consts.
     Rows 0-7 store addrs 100..107; rows 12-19 load them reversed; row 24
-    re-loads addr 100 and row 25 re-stores the identical pair (multiset
-    multiplicities on both sides)."""
+    re-loads addr 100 (its store's multiplicity = 2) and row 25 is a
+    ZERO-multiplicity store (value never reloaded — must still verify)."""
 
     num_cols = 1
     num_publics = 1
     n_rows = N
 
     def ram_multiset(self):
-        return (0, 1, 2, 0)        # (store_c, load_c, addr_c, val_col)
+        # (mult_c, load_c, addr_c, active_c, val_col)
+        return (0, 1, 2, 3, 0)
 
     def constant_columns(self, n_rows):
-        out = np.zeros((3, n_rows), dtype=np.uint64)
+        out = np.zeros((4, n_rows), dtype=np.uint64)
         for i in range(8):
-            out[0, i] = 1
+            out[0, i] = 2 if i == 0 else 1     # addr 100 loaded twice
             out[2, i] = 100 + i
+            out[3, i] = 1
         for i in range(8):
             out[1, 12 + i] = 1
             out[2, 12 + i] = 107 - i
+            out[3, 12 + i] = 1
         out[1, 24] = 1
         out[2, 24] = 100
-        out[0, 25] = 1
-        out[2, 25] = 100
+        out[3, 24] = 1
+        out[2, 25] = 200                        # mult-0 store, fresh addr
+        out[3, 25] = 1
         return out
 
 
@@ -49,7 +53,7 @@ def _vals():
     for i in range(8):
         vals[12 + i] = stored[107 - i]
     vals[24] = stored[100]
-    vals[25] = stored[100]
+    vals[25] = 424242          # mult-0 store: arbitrary, never reloaded
     return vals
 
 
@@ -76,6 +80,7 @@ def test_ram_unmatched_load_rejected():
             out = super().constant_columns(n_rows)
             out[1, 26] = 1
             out[2, 26] = 55          # load from a never-stored address
+            out[3, 26] = 1
             return out
 
     v = _vals()

@@ -180,20 +180,21 @@ class Air:
         return None
 
     def ram_multiset(self):
-        """None, or (store_cidx, load_cidx, addr_cidx, val_col) declaring
-        a pair-multiset memory argument over the trace (phase-5 value
-        RAM, stark/RECURSION.md):
+        """None, or (mult_cidx, load_cidx, addr_cidx, active_cidx,
+        val_col) declaring a pair-multiset memory argument over the
+        trace (phase-5 value RAM, stark/RECURSION.md):
 
-            Σ_rows store(r)/(γ − addr(r) − δ·val(r))
-                == Σ_rows load(r)/(γ − addr(r) − δ·val(r))
+            Σ_stores mult(r)/(γ − addr(r) − δ·val(r))
+                == Σ_loads 1/(γ − addr(r) − δ·val(r))
 
-        store/load are 0/1 CONSTANT-column flags, addr a CONSTANT column
-        (addresses are schedule-static), val a COMMITTED column. γ, δ are
-        squeezed after the trace commitment (the only sound ordering for
-        a multiset over witness cells), so a value may be re-witnessed at
-        any later row: every load is forced to replay some store. Adds 4
-        aux base columns (inv re/im, running-sum re/im) to the LogUp aux
-        commitment."""
+        mult (store multiplicity: how many loads that store serves —
+        STATIC, 0 legal), load (0/1) and active (0/1: store-or-load row)
+        are CONSTANT-column flags, addr a CONSTANT column, val a
+        COMMITTED column. γ, δ are squeezed after the trace commitment
+        (the only sound ordering for a multiset over free witness
+        cells), so a value may be re-witnessed at any later row: every
+        load is forced to replay some store. Adds 4 aux base columns
+        (inv re/im, running-sum re/im) to the LogUp aux commitment."""
         return None
 
     def lookup_range_columns(self) -> List[int]:

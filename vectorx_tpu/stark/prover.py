@@ -226,19 +226,22 @@ def total_aux_cols(air: Air) -> int:
                         air.ram_multiset() is not None)
 
 
-def _ram_constraint_evals(gamma_r, delta_r, addr_x, st_x, ld_x, val_x,
-                          inv_v, s_val, s_next):
+def _ram_constraint_evals(gamma_r, delta_r, addr_x, mult_x, ld_x, act_x,
+                          val_x, inv_v, s_val, s_next):
     """Pair-multiset RAM constraints in any ext ring (air.ram_multiset —
     the phase-5 value RAM). fp = γ − addr − δ·val;
-    fp·inv == st + ld (forces inv = 0 on inactive rows);
-    S' = S + (st − ld)·inv with S(0) = 0 and S wrapping to 0 —
-    Σ store-side 1/fp == Σ load-side 1/fp, i.e. every load replays some
-    store. All terms degree ≤ 2. Returns (every, transition, first,
-    last) constraint lists — appended AFTER the LogUp lists in every
-    consumer (prover quotient, verifier ALI, recursion record)."""
+    fp·inv == active (forces inv = 0 on inactive rows);
+    S' = S + (mult − load)·inv with S(0) = 0 and S wrapping to 0:
+        Σ_stores mult/fp == Σ_loads 1/fp
+    — every load replays some store's (addr, value), and a store row's
+    STATIC multiplicity says how many loads it serves (0 is legal: the
+    value is simply never reloaded). All terms degree ≤ 2. Returns
+    (every, transition, first, last) constraint lists — appended AFTER
+    the LogUp lists in every consumer (prover quotient, verifier ALI,
+    recursion record)."""
     fp = ext.sub(gamma_r, ext.add(addr_x, ext.mul(delta_r, val_x)))
-    def_i = ext.sub(ext.mul(fp, inv_v), ext.add(st_x, ld_x))
-    contrib = ext.mul(ext.sub(st_x, ld_x), inv_v)
+    def_i = ext.sub(ext.mul(fp, inv_v), act_x)
+    contrib = ext.mul(ext.sub(mult_x, ld_x), inv_v)
     re_ = [def_i]
     rt = [ext.sub(ext.sub(s_next, s_val), contrib)]
     rf = [s_val]
@@ -367,18 +370,18 @@ def _build_ram_aux(air: Air, trace: gl.Fp, gamma: ext.Fp2,
                    delta_r: ext.Fp2, n: int) -> gl.Fp:
     """(4, n) RAM aux base columns [inv.re | inv.im | S.re | S.im] for
     air.ram_multiset (see _ram_constraint_evals)."""
-    st_c, ld_c, ad_c, val_col = air.ram_multiset()
+    mult_c, ld_c, ad_c, act_c, val_col = air.ram_multiset()
     cvals = np.asarray(air.constant_columns(n), dtype=np.object_)
-    st = gl.to_fp(cvals[st_c])
+    mult = gl.to_fp(cvals[mult_c])
     ld = gl.to_fp(cvals[ld_c])
     ad = gl.to_fp(cvals[ad_c])
+    act = gl.to_fp(cvals[act_c])
     val = (trace[0][val_col], trace[1][val_col])
     gb = _broadcast_ext(gamma, (n,))
     db = _broadcast_ext(delta_r, (n,))
     fp = ext.sub(gb, ext.add(ext.from_base(ad), ext.mul_base(db, val)))
-    sel = gl.add(st, ld)
-    inv = ext.mul_base(ext.inv(fp), sel)          # 0 on inactive rows
-    contrib = ext.mul_base(inv, gl.sub(st, ld))
+    inv = ext.mul_base(ext.inv(fp), act)          # 0 on inactive rows
+    contrib = ext.mul_base(inv, gl.sub(mult, ld))
 
     def exscan(fp_: gl.Fp) -> gl.Fp:
         inc = jax.lax.associative_scan(gl.add, fp_)
@@ -517,7 +520,7 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
 
         if ram_spec is not None:
             assert not tiled_lk, "RAM + tiled-LogUp not supported yet"
-            st_c, ld_c, ad_c, val_col = ram_spec
+            mult_c, ld_c, ad_c, act_c, val_col = ram_spec
             base_r = (2 * kk2 + 6) if has_lk else 0
 
             def ram_aux(i):
@@ -532,13 +535,14 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
                        (jnp.roll(aux_lde[0][base_r + 3], -blowup),
                         jnp.roll(aux_lde[1][base_r + 3], -blowup)))
             addr_x = ext.from_base((c_lde[0][ad_c], c_lde[1][ad_c]))
-            st_x = ext.from_base((c_lde[0][st_c], c_lde[1][st_c]))
+            mult_x = ext.from_base((c_lde[0][mult_c], c_lde[1][mult_c]))
             ld_x = ext.from_base((c_lde[0][ld_c], c_lde[1][ld_c]))
+            act_x = ext.from_base((c_lde[0][act_c], c_lde[1][act_c]))
             val_x = ext.from_base((trace_lde[0][val_col],
                                    trace_lde[1][val_col]))
             r_e, r_t, r_f, r_l = _ram_constraint_evals(
-                gamma, delta, addr_x, st_x, ld_x, val_x, inv_v, sR_v,
-                sR_next)
+                gamma, delta, addr_x, mult_x, ld_x, act_x, val_x, inv_v,
+                sR_v, sR_next)
             lk_e = lk_e + r_e
             lk_t = lk_t + r_t
             lk_f = lk_f + r_f

@@ -103,7 +103,7 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
 
         if ram_spec is not None:
             from .prover import _ram_constraint_evals
-            st_c, ld_c, ad_c, val_col = ram_spec
+            mult_c, ld_c, ad_c, act_c, val_col = ram_spec
             base_r = (2 * kk2 + 6) if has_lk else 0
             inv_z = _recombine_u(_pick_ext(aux_zeta, base_r),
                                  _pick_ext(aux_zeta, base_r + 1))
@@ -113,7 +113,9 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
                                  _pick_ext(aux_gzeta, base_r + 3))
             r_e, r_t, r_f, r_l = _ram_constraint_evals(
                 gamma, delta, _pick_ext(const_zeta, ad_c),
-                _pick_ext(const_zeta, st_c), _pick_ext(const_zeta, ld_c),
+                _pick_ext(const_zeta, mult_c),
+                _pick_ext(const_zeta, ld_c),
+                _pick_ext(const_zeta, act_c),
                 _pick_ext(trace_zeta, val_col), inv_z, sR_z, sR_gz)
             lk_e = lk_e + r_e
             lk_t = lk_t + r_t
