@@ -103,6 +103,12 @@ class _Row:
     aval: int = 0
     bval: int = 0
     cval: int = 0
+    # value-RAM flags (air.ram_multiset): this row's C value is a STORE
+    # (ram=1, serving ram_mult later loads) or a LOAD (ram=2) of address
+    # ram_addr — all schedule-static
+    ram: int = 0
+    ram_addr: int = 0
+    ram_mult: int = 0
 
 
 class MachineBuilder:
@@ -119,6 +125,8 @@ class MachineBuilder:
         self.hsnap: List[Tuple[int, ...]] = []   # per-row state
         self.publics: List[int] = []
         self._consts = {}                  # literal -> cached cell
+        self.cell_row: List[int] = []      # cell id -> defining row index
+        self.ram_addr_base = 0             # next free RAM address block
 
     # -- ALU ---------------------------------------------------------------
 
@@ -133,9 +141,32 @@ class MachineBuilder:
             aval = self.vals[a]
         bval = self.vals[b] if b is not None else 0
         self.hsnap.append(tuple(self.h))
+        self.cell_row.append(len(self.rows))
         self.rows.append(_Row(op=op, a=a, b=b, lit=lit % P, zp=zp, pub=pub,
                               cell=cell, aval=aval, bval=bval, cval=val))
         return cell
+
+    # -- value RAM (air.ram_multiset; phase-5 spill) -----------------------
+
+    def ram_store(self, cell: int, addr: int) -> None:
+        """Flag `cell`'s defining row as the STORE of `addr` (multiplicity
+        back-patched by ram_set_mult once load counts are known)."""
+        r = self.rows[self.cell_row[cell]]
+        assert r.ram == 0
+        r.ram = 1
+        r.ram_addr = addr % P
+
+    def ram_load(self, v: int, addr: int) -> int:
+        """Fresh witness cell whose value is FORCED (by the multiset
+        argument) to equal some store of `addr`."""
+        cell = self.loadw(v)
+        r = self.rows[self.cell_row[cell]]
+        r.ram = 2
+        r.ram_addr = addr % P
+        return cell
+
+    def ram_set_mult(self, store_cell: int, mult: int) -> None:
+        self.rows[self.cell_row[store_cell]].ram_mult = mult % P
 
     def load(self, v: int) -> int:
         return self._alu(OP_LOAD, lit=v, val=v)
@@ -550,6 +581,20 @@ class RecursionAir(Air):
         self.C_WOFF = self.C_WBANK + NB
         self.C_OSEL = self.C_WOFF + BANK_W
         self.num_consts = self.C_OSEL + self.num_publics
+        # value-RAM constant columns (only if the program has RAM rows)
+        self.has_ram = any(r.ram for r in mb.rows)
+        if self.has_ram:
+            self.C_RMULT = self.num_consts
+            self.C_RLOAD = self.num_consts + 1
+            self.C_RADDR = self.num_consts + 2
+            self.C_RACT = self.num_consts + 3
+            self.num_consts += 4
+
+    def ram_multiset(self):
+        if not self.has_ram:
+            return None
+        return (self.C_RMULT, self.C_RLOAD, self.C_RADDR, self.C_RACT,
+                self.COL_C)
 
     # -- schedule -> constant columns -------------------------------------
 
@@ -610,6 +655,13 @@ class RecursionAir(Air):
                     k = self.reg[row.cell]
                     out[self.C_WBANK + k // BANK_W, i] = 1
                     out[self.C_WOFF + k % BANK_W, i] = 1
+                if self.has_ram and row.ram:
+                    if row.ram == 1:
+                        out[self.C_RMULT, i] = row.ram_mult
+                    else:
+                        out[self.C_RLOAD, i] = 1
+                    out[self.C_RADDR, i] = row.ram_addr
+                    out[self.C_RACT, i] = 1
         # pad rows: registers copy (wsel=0), hash copies
         for i in range(len(self.mb.rows), n_rows):
             for j in range(WIDTH):
@@ -866,17 +918,29 @@ class _TranscriptRec:
 # — the same computational argument that backs the Merkle caps. No
 # protocol change: prover/verifier transcripts are untouched.
 #
-# The replay is driven by a greedy cursor over the slot space (opening
-# cells in absorb order). ALI touches materialize cells lazily; the
-# cursor absorbs a replay chunk as soon as its 8 slots are materialized,
-# force-materializing gaps when back-pressure exceeds STREAM_SPILL. DEEP
-# S-sums fold at drain time (slot order == column order, so the running
-# β-power chains match the prover's weights exactly). Schedule depends
-# only on (inner_air, log_n, config) — touch order is the AIR's static
-# constraint-evaluation order, never a witness value.
+# Two cooperating mechanisms:
+#
+# 1. REPLAY PASS (the binding + DEEP S-sums): one eager pass in
+#    transcript order re-witnesses every opening cell, STOREs it to the
+#    value RAM (air.ram_multiset — addresses are slot indices), absorbs
+#    it into the replay sponge and folds the running-β DEEP S-sums.
+#    Cells die within their chunk: K contribution ≈ 16.
+# 2. RAM-LOADED HANDLES (the ALI consume side): constraint code receives
+#    _RefCell handles that resolve to a CURRENT cell at every component
+#    access; a cell older than VX_RAM_SPAN rows is re-witnessed via a
+#    RAM LOAD — the multiset argument (γ, δ squeezed after the outer
+#    trace commit) forces every load to replay some store. Register
+#    liveness is span-bounded no matter how long the Python constraint
+#    code holds a reference (measured on the HeaderAir(1) leaf:
+#    span 256 ⇒ peak ≈ 386 vs 2875 unbounded).
+#
+# Store multiplicities (static load counts) are back-patched at finish.
+# Schedule depends only on (inner_air, log_n, config): touch order is
+# the AIR's static constraint-evaluation order, never a witness value.
 
-STREAM_SPILL = 64      # materialized-but-unabsorbed slots before gaps are
-                       # force-filled (bounds the register back-pressure)
+import os as _os
+
+RAM_SPAN = int(_os.environ.get("VX_RAM_SPAN", "256"))
 STREAM_MIN_CELLS = 1024  # auto-enable streaming above this opening count
 
 
@@ -896,10 +960,30 @@ def _xpow_static(mb: MachineBuilder, x, e: int):
         base = mb.xmul(base, base)
 
 
+class _RefCell(tuple):
+    """Lazy XCell: component access resolves to the CURRENT span-fresh
+    RAM-load cells, so holding this Python object indefinitely costs no
+    register liveness — every use site re-resolves (and re-loads through
+    the multiset when stale). isinstance(tuple) and len 2 keep it
+    duck-compatible with plain XCells everywhere in the machine ring."""
+
+    def __new__(cls, streamer, vi: int, i: int):
+        self = super().__new__(cls, (-1, -1))
+        self.st = streamer
+        self.vi = vi
+        self.i = i
+        return self
+
+    def __getitem__(self, k):
+        return self.st.touch(self.vi, self.i)[k]
+
+    def __iter__(self):
+        return iter(self.st.touch(self.vi, self.i))
+
+
 class _LazyVec:
-    """Opening-vector handle: materializes (re, im) cells on first touch
-    through the shared _OpeningStreamer. Quacks like the list of XCells
-    the legacy recorder built eagerly."""
+    """Opening-vector handle: presents (m,) _RefCells. Slicing returns
+    plain lists of _RefCells without materializing anything."""
 
     def __init__(self, streamer, vi: int, m: int):
         self.st = streamer
@@ -914,7 +998,7 @@ class _LazyVec:
             return [self[j] for j in range(*i.indices(self.m))]
         if i < 0:
             i += self.m
-        return self.st.touch(self.vi, i)
+        return _RefCell(self.st, self.vi, i)
 
     def __iter__(self):
         for i in range(self.m):
@@ -931,134 +1015,118 @@ class _OpeningStreamer:
         self.mb = mb
         self.beta = beta
         self.vecs = []          # (name, values[(re,im)], m)
-        self.cells = []         # per vec: [ (re_cell, im_cell) | None ]
-        self.slot_of = []       # global slot -> (vi, half, i)
-        self.block_of_slot = [] # global slot -> block id
-        self.blocks = []        # (vi, half) per block, in slot order
+        self.cells = []         # per vec: current LOAD pair or None
+        self.birth = []         # per vec: row index the pair was loaded
+        self.vec_base = []      # vi -> first global slot of its re-block
         self.s0 = None          # 4 cells: transcript lanes 8..11 at seg start
         self.s1 = None          # 12 cells: transcript state β was read from
-        self.head = 0
-        self.pressure = 0
-        self.frontier = -1      # last touched slot: non-forced drains
-                                # never materialize beyond it
-        self.vec_base = []      # vi -> first global slot of its re-block
-        self.first_chunk = True
+        self.addr_base = None
         self.finished = False
-        self.n_accesses = 0     # total handle reads (RAM-consume count
-                                # if re-witnessing per use)
-        self._acc = None        # current block accumulator (XCell)
-        self._pw = None         # current block running power (XCell)
-        self._block = -1        # current block id at the cursor
-        self.block_acc = {}     # block id -> closed accumulator
+        self.replayed = False
+        self.n_accesses = 0
+        self.n_loads = 0
+        self.loads = {}         # (vi, i) -> load count (mult back-patch)
+        self.store_refs = []    # (store_cell, vi, i)
+        self.block_acc = {}     # 2*vi+half -> closed S accumulator
         self.total = 0
 
     def add_vec(self, name: str, values, m: int) -> _LazyVec:
         vi = len(self.vecs)
         self.vecs.append((name, values, m))
         self.cells.append([None] * m)
+        self.birth.append([0] * m)
         self.vec_base.append(self.total)
-        for half in (0, 1):
-            bid = len(self.blocks)
-            self.blocks.append((vi, half))
-            for i in range(m):
-                self.slot_of.append((vi, half, i))
-                self.block_of_slot.append(bid)
         self.total += 2 * m
         return _LazyVec(self, vi, m)
 
-    # -- consume side -----------------------------------------------------
+    def _addr(self, vi: int, half: int, i: int) -> int:
+        return self.addr_base + self.vec_base[vi] + half * self.vecs[vi][2] + i
+
+    # -- consume side (RAM loads, span-bounded liveness) -------------------
 
     def touch(self, vi: int, i: int):
         self.n_accesses += 1
         cc = self.cells[vi][i]
-        if cc is None:
-            re, im = self.vecs[vi][1][i]
-            cc = (self.mb.loadw(re), self.mb.loadw(im))
-            self.cells[vi][i] = cc
-            self.pressure += 2
-            m = self.vecs[vi][2]
-            self.frontier = max(self.frontier, self.vec_base[vi] + m + i)
-            self._drain()
+        now = len(self.mb.rows)
+        if cc is not None and now - self.birth[vi][i] <= RAM_SPAN:
+            return cc
+        re, im = self.vecs[vi][1][i]
+        cc = (self.mb.ram_load(re, self._addr(vi, 0, i)),
+              self.mb.ram_load(im, self._addr(vi, 1, i)))
+        self.cells[vi][i] = cc
+        self.birth[vi][i] = now
+        self.loads[(vi, i)] = self.loads.get((vi, i), 0) + 1
+        self.n_loads += 2
         return cc
 
-    def _slot_cell(self, s: int):
-        vi, half, i = self.slot_of[s]
-        cc = self.cells[vi][i]
-        if cc is None:
-            return None
-        return cc[half]
+    # -- binding side ------------------------------------------------------
 
-    def _materialize_slot(self, s: int) -> None:
-        vi, half, i = self.slot_of[s]
-        if self.cells[vi][i] is None:
-            re, im = self.vecs[vi][1][i]
-            self.cells[vi][i] = (self.mb.loadw(re), self.mb.loadw(im))
-            self.pressure += 2
-
-    def _drain(self, force: bool = False) -> None:
+    def replay_pass(self) -> None:
+        """One eager pass in transcript order: fresh witnesses STORE to
+        the RAM, absorb into the replay sponge (S0 chunk-chain must land
+        on S1 — collision resistance binds them to the transcript
+        originals) and fold the DEEP S-sums with the prover's running-β
+        weights. Every cell dies within its chunk."""
+        assert not self.replayed
+        if self.addr_base is None:
+            self.addr_base = self.mb.ram_addr_base
+            self.mb.ram_addr_base += self.total
         mb = self.mb
-        while self.head < self.total:
-            end = min(self.head + RATE, self.total)
-            slots = list(range(self.head, end))
-            ready = all(self._slot_cell(s) is not None for s in slots)
-            if not ready:
-                # fill gaps only under force, or when back-pressure is
-                # high AND the gap sits behind the touched frontier (so
-                # draining it actually releases pressure)
-                if not (force or (self.pressure > STREAM_SPILL
-                                  and self.head <= self.frontier)):
-                    return
-                for s in slots:
-                    self._materialize_slot(s)
-            # replay absorb row: mirrors the transcript's chunking of the
-            # opening segment exactly (cells at slot order, rest lanes
-            # L_COPY; the FIRST chunk restores capacity from S0)
-            chunk = [self._slot_cell(s) for s in slots]
-            modes = [(L_FREE, c) for c in chunk]
-            if self.first_chunk:
-                assert len(chunk) == RATE, "first opening chunk is full"
+        pending = []
+        first = True
+
+        def flush(final=False):
+            nonlocal first, pending
+            if not pending and not final:
+                return
+            modes = [(L_FREE, c) for c in pending]
+            if first:
+                assert len(pending) == RATE, "first opening chunk is full"
                 modes += [(L_FREE, c) for c in self.s0]
             else:
-                modes += [(L_COPY, None)] * (WIDTH - len(chunk))
+                modes += [(L_COPY, None)] * (WIDTH - len(pending))
             mb.absorb_then_permute(modes)
-            self.first_chunk = False
-            # fold the drained slots into their block S-accumulators
-            for s in slots:
-                bid = self.block_of_slot[s]
-                if bid != self._block:
-                    if self._block >= 0:
-                        self.block_acc[self._block] = self._acc
-                    self._block = bid
-                    self._acc = (mb.const(0), mb.const(0))
-                    self._pw = (mb.const(1), mb.const(0))
-                cell = self._slot_cell(s)
-                term = mb.xmul_base(self._pw, cell)
-                self._acc = mb.xadd(self._acc, term)
-                self._pw = mb.xmul(self._pw, self.beta)
-            self.pressure -= len(slots)
-            self.head = end
+            first = False
+            pending = []
+
+        for vi, (name, values, m) in enumerate(self.vecs):
+            for half in (0, 1):
+                acc = (mb.const(0), mb.const(0))
+                pw = (mb.const(1), mb.const(0))
+                for i in range(m):
+                    c = mb.loadw(values[i][half])
+                    mb.ram_store(c, self._addr(vi, half, i))
+                    self.store_refs.append((c, vi, i))
+                    acc = mb.xadd(acc, mb.xmul_base(pw, c))
+                    pw = mb.xmul(pw, self.beta)
+                    pending.append(c)
+                    if len(pending) == RATE:
+                        flush()
+                self.block_acc[2 * vi + half] = acc
+        flush(final=bool(pending))
+        for j in range(WIDTH):
+            mb.eq_lane(j, self.s1[j])
+        self.replayed = True
 
     def _umul(self, x):
         """u·x for u² = W: (a, b) -> (W·b, a)."""
         return (self.mb.scale(x[1], W), x[0])
 
     def s_sum(self, vi: int):
-        """Σ_i β^i · v_i over vector vi (Fp2) — requires finish()."""
-        assert self.finished
+        """Σ_i β^i · v_i over vector vi (Fp2) — requires replay_pass()."""
+        assert self.replayed
         acc_re = self.block_acc[2 * vi]
         acc_im = self.block_acc[2 * vi + 1]
         return self.mb.xadd(acc_re, self._umul(acc_im))
 
     def finish(self) -> None:
-        """Force-drain every slot, close the last block, and pin the
-        replayed sponge state to the captured S1 (the binding check)."""
+        """Back-patch store multiplicities (static load counts) — every
+        store accounts for exactly its loads, 0 included."""
         if self.finished:
             return
-        self._drain(force=True)
-        if self._block >= 0:
-            self.block_acc[self._block] = self._acc
-        for j in range(WIDTH):
-            self.mb.eq_lane(j, self.s1[j])
+        assert self.replayed
+        for (c, vi, i) in self.store_refs:
+            self.mb.ram_set_mult(c, self.loads.get((vi, i), 0))
         self.finished = True
 
 
@@ -1298,6 +1366,11 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         stats['rows_transcript'] = len(mb.rows)
 
     # -- ALI at ζ ---------------------------------------------------------
+    if stream:
+        # binding + DEEP S-sums first: every opening is stored to the
+        # value RAM and replayed onto the captured transcript states;
+        # the ALI pass below then consumes span-fresh RAM loads
+        st.replay_pass()
     alg = XAlgMB(mb)
     publics_x = [(c, zero) for c in publics_cells]
     consts_x = cz if has_consts else []
