@@ -1232,11 +1232,13 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     assert config.cap_height == 0, "recursion: cap_height 0 only (for now)"
     n_consts = int(np.asarray(inner_air.constant_columns(n)).shape[0])
     has_consts = n_consts > 0
-    assert inner_air.ram_multiset() is None, \
-        "recursion of RAM-multiset AIRs lands with phase-5 machine rows"
-
     lk_cols = inner_air.lookup_range_columns()
     has_lk = len(lk_cols) > 0
+    ram_inner = inner_air.ram_multiset()
+    has_ram_inner = ram_inner is not None
+    has_aux = has_lk or has_ram_inner
+    if has_ram_inner:
+        assert n_consts > 0, "RAM AIRs carry their flags in const columns"
     lk_p = _padded_lk(lk_cols) if has_lk else []
     kk2 = len(lk_p) // 2
     g_dom = gl.primitive_root_of_unity(log_n)
@@ -1247,8 +1249,8 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
 
     C = inner_air.num_cols
     from .prover import num_aux_cols
-    A = num_aux_cols(len(lk_cols)) if has_lk else 0
-    n_open_cells = 2 * (2 * C + (2 * A if has_lk else 0)
+    A = num_aux_cols(len(lk_cols), has_ram_inner) if has_aux else 0
+    n_open_cells = 2 * (2 * C + (2 * A if has_aux else 0)
                         + (2 * n_consts if has_consts else 0) + n_chunks)
     if stream is None:
         stream = n_open_cells >= STREAM_MIN_CELLS
@@ -1287,8 +1289,10 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         tr.observe(vk_cap)
     trace_cap = load_digests(proof.trace_cap)
     tr.observe(trace_cap)
-    if has_lk:
+    if has_aux:
         gamma = tr.squeeze_ext()
+        if has_ram_inner:
+            delta_r = tr.squeeze_ext()
         aux_cap = load_digests(proof.aux_cap)
         tr.observe(aux_cap)
     alpha = tr.squeeze_ext()
@@ -1316,7 +1320,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
 
         tz = load_vec_streamed(proof.trace_zeta, C, 'tz')
         tgz = load_vec_streamed(proof.trace_gzeta, C, 'tgz')
-        if has_lk:
+        if has_aux:
             az = load_vec_streamed(proof.aux_zeta, A, 'az')
             agz = load_vec_streamed(proof.aux_gzeta, A, 'agz')
         if has_consts:
@@ -1331,7 +1335,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     else:
         tz = load_ext_vec(proof.trace_zeta, C)
         tgz = load_ext_vec(proof.trace_gzeta, C)
-        if has_lk:
+        if has_aux:
             az = load_ext_vec(proof.aux_zeta, A)
             agz = load_ext_vec(proof.aux_gzeta, A)
         if has_consts:
@@ -1418,6 +1422,22 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     else:
         lk_e = lk_t = lk_f = lk_l = []
 
+    if has_ram_inner:
+        # mirror prover._ram_constraint_evals in the machine ring
+        mult_c, ld_c, ad_c, act_c, val_col = ram_inner
+        base_r = (2 * kk2 + 6) if has_lk else 0
+        inv_z = recomb(az[base_r], az[base_r + 1])
+        sR_z = recomb(az[base_r + 2], az[base_r + 3])
+        sR_gz = recomb(agz[base_r + 2], agz[base_r + 3])
+        fp_r = mb.xsub(gamma, mb.xadd(cz[ad_c],
+                                      mb.xmul(delta_r, tz[val_col])))
+        def_i = mb.xsub(mb.xmul(fp_r, inv_z), cz[act_c])
+        contrib_r = mb.xmul(mb.xsub(cz[mult_c], cz[ld_c]), inv_z)
+        lk_e = list(lk_e) + [def_i]
+        lk_t = list(lk_t) + [mb.xsub(mb.xsub(sR_gz, sR_z), contrib_r)]
+        lk_f = list(lk_f) + [sR_z]
+        lk_l = list(lk_l) + [mb.xadd(sR_z, contrib_r)]
+
     k_pow = [one_x]
 
     def comb(cs, acc):
@@ -1476,7 +1496,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         S_gz = st.s_sum(1)
         off1 = _xpow_static(mb, beta, C)
         off2 = _xpow_static(mb, beta, 2 * C)
-        if has_lk:
+        if has_aux:
             S_az = st.s_sum(2)
             S_agz = st.s_sum(3)
             off3 = _xpow_static(mb, beta, 2 * C + A)
@@ -1484,10 +1504,10 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
         else:
             off3 = off4 = off2
         if has_consts:
-            ci = 4 if has_lk else 2
+            ci = 4 if has_aux else 2
             S_cz = st.s_sum(ci)
             S_cgz = st.s_sum(ci + 1)
-            base_e = 2 * C + (2 * A if has_lk else 0)
+            base_e = 2 * C + (2 * A if has_aux else 0)
             off_cz = off4
             off_cgz = _xpow_static(mb, beta, base_e + n_consts)
             off_q = _xpow_static(mb, beta, base_e + 2 * n_consts)
@@ -1504,7 +1524,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
             pw = mb.xmul(pw, beta)
         off1 = pw                                  # β^C
         off2 = mb.xmul(off1, off1)                 # β^{2C}
-        if has_lk:
+        if has_aux:
             pwa = one_x
             S_az = zero_x
             S_agz = zero_x
@@ -1546,7 +1566,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
     qrb = _np_int(proof.quot_rows_b)
     qpa = _np_int(proof.quot_paths_a)
     qpb = _np_int(proof.quot_paths_b)
-    if has_lk:
+    if has_aux:
         ara = _np_int(proof.aux_rows_a)
         arb = _np_int(proof.aux_rows_b)
         apa = _np_int(proof.aux_paths_a)
@@ -1651,7 +1671,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
 
             t_cells, T1 = leaf_commit_and_sum(t_rows[qi], beta)
             walk_path(t_paths[qi], pbits, trace_cap)
-            if has_lk:
+            if has_aux:
                 a_cells, Ta = leaf_commit_and_sum(ara[qi] if side == 0
                                                   else arb[qi], beta)
                 walk_path(apa[qi] if side == 0 else apb[qi], pbits, aux_cap)
@@ -1672,7 +1692,7 @@ def record_stark_verify(mb: MachineBuilder, inner_air: Air, proof,
             F = mb.xmul(mb.xsub(T1, S_z), inv_xz)
             F = mb.xadd(F, mb.xmul(off1,
                                    mb.xmul(mb.xsub(T1, S_gz), inv_xgz)))
-            if has_lk:
+            if has_aux:
                 F = mb.xadd(F, mb.xmul(off2,
                                        mb.xmul(mb.xsub(Ta, S_az), inv_xz)))
                 F = mb.xadd(F, mb.xmul(off3,
