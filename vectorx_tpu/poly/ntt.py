@@ -182,13 +182,16 @@ def _shift_powers(n: int, shift: int) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
-def coset_lde(evals: gl.Fp, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gl.Fp:
-    """Low-degree extend size-N subgroup evals onto the size-N*2^rate coset.
+import os as _os
 
-    evals (..., N) -> (..., N << rate_bits), evaluated at shift * H' where H'
-    is the larger subgroup. This is the trace-commitment domain expansion
-    (the blowup the reference prover performs inside ``circuit.prove``).
-    """
+#: column-batch bound for the blowup: NTT butterfly temps are several
+#: (B, n_ext) u32 planes, so a 700-col 2^20-point LDE transiently holds
+#: >8 GB without tiling — the round-4 recursion-leaf OOM. Tiles are
+#: bit-exact (each column transforms independently).
+LDE_TILE_CELLS = int(_os.environ.get("VX_LDE_TILE_CELLS", str(1 << 26)))
+
+
+def _coset_lde_one(evals: gl.Fp, rate_bits: int, shift: int) -> gl.Fp:
     coeffs = intt(evals)
     n = coeffs[0].shape[-1]
     n_ext = n << rate_bits
@@ -199,6 +202,28 @@ def coset_lde(evals: gl.Fp, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP
     lo = jnp.pad(scaled[0], pad)
     hi = jnp.pad(scaled[1], pad)
     return ntt((lo, hi))
+
+
+def coset_lde(evals: gl.Fp, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP_GENERATOR) -> gl.Fp:
+    """Low-degree extend size-N subgroup evals onto the size-N*2^rate coset.
+
+    evals (..., N) -> (..., N << rate_bits), evaluated at shift * H' where H'
+    is the larger subgroup. This is the trace-commitment domain expansion
+    (the blowup the reference prover performs inside ``circuit.prove``).
+    2-D inputs whose blown-up size exceeds LDE_TILE_CELLS stream through
+    column tiles (bounds the butterfly temps; bit-exact)."""
+    if evals[0].ndim == 2:
+        b = evals[0].shape[0]
+        n_ext = evals[0].shape[-1] << rate_bits
+        if b * n_ext > LDE_TILE_CELLS:
+            tile = max(1, LDE_TILE_CELLS // n_ext)
+            outs = [_coset_lde_one((evals[0][i:i + tile],
+                                    evals[1][i:i + tile]),
+                                   rate_bits, shift)
+                    for i in range(0, b, tile)]
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
+    return _coset_lde_one(evals, rate_bits, shift)
 
 
 def coset_intt(evals: gl.Fp, shift: int) -> gl.Fp:

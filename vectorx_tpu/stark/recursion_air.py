@@ -711,30 +711,42 @@ class RecursionAir(Air):
                                   alg.mul(c2, alg.sub(hn, h))),
                           alg.mul(c3, hn)))
 
-        regs = _stackring([local[self.COL_R + k] for k in range(K)])
-        regs_n = _stackring([next_row[self.COL_R + k] for k in range(K)])
-
-        def banked(cb, co):
-            """(K,) select group: sel_k = bank[k//BW]·off[k%BW] — the
-            bank/off columns are LISTED with repetition, so only NB+16
-            constant columns exist however large K is."""
-            bank = _stackring([consts[cb + k // BANK_W] for k in range(K)])
-            off = _stackring([consts[co + k % BANK_W] for k in range(K)])
-            return alg.mul(bank, off)
-
-        asel = banked(self.C_ABANK, self.C_AOFF)
-        bsel = banked(self.C_BBANK, self.C_BOFF)
-        wsel = banked(self.C_WBANK, self.C_WOFF)
+        regs_list = [local[self.COL_R + k] for k in range(K)]
+        regs_n_list = [next_row[self.COL_R + k] for k in range(K)]
         hsel = _stackring([consts[self.C_HSEL + j] for j in range(WIDTH)])
+
+        # Bank-chunked register machinery: selects are 2-level products
+        # sel_k = bank[k//BW]·off[k%BW] (only NB+16 selector constants
+        # however large K is), and every (K, N)-shaped tensor is
+        # processed one BANK at a time — an unchunked K=725 register
+        # group at a 2^20-point LDE is a 6 GB live tensor (the round-4
+        # recursion-leaf OOM). Per-bank emission preserves the flattened
+        # constraint order exactly, so α assignment (prover/verifier/
+        # recursion) is unchanged.
+        def _bank_sel(cb, co, nb, w):
+            bank = consts[cb + nb]
+            off = _stackring([consts[co + j] for j in range(w)])
+            if isinstance(off, GX):
+                return GX([alg.mul(o, bank) for o in off])
+            return alg.mul(off, bank)
+
+        def _port_sum(cb, co):
+            acc = None
+            for nb in range(self.NB):
+                chunk = regs_list[nb * BANK_W:(nb + 1) * BANK_W]
+                sel = _bank_sel(cb, co, nb, len(chunk))
+                term = _sum0(alg.mul(sel, _stackring(chunk)), alg)
+                acc = term if acc is None else alg.add(acc, term)
+            return acc
 
         A = local[self.COL_A]
         B = local[self.COL_B]
         C = local[self.COL_C]
         one = alg.one()
 
-        cs.append(alg.sub(A, alg.add(_sum0(alg.mul(asel, regs), alg),
+        cs.append(alg.sub(A, alg.add(_port_sum(self.C_ABANK, self.C_AOFF),
                                      _sum0(alg.mul(hsel, h), alg))))
-        cs.append(alg.sub(B, _sum0(alg.mul(bsel, regs), alg)))
+        cs.append(alg.sub(B, _port_sum(self.C_BBANK, self.C_BOFF)))
 
         lit = consts[self.C_LIT]
         cs.append(alg.mul(consts[self.C_LOAD], alg.sub(C, lit)))
@@ -751,10 +763,17 @@ class RecursionAir(Air):
                                for j in range(self.num_publics)])
             cs.append(alg.mul(osel, alg.sub(C, pubs)))
 
-        # register writes: R' = wsel·C + (1 − wsel)·R
-        cs.append(alg.sub(regs_n,
-                          alg.add(alg.mul(wsel, C),
-                                  alg.mul(alg.sub(one, wsel), regs))))
+        # register writes: R' = wsel·C + (1 − wsel)·R — emitted one bank
+        # group at a time (same flattened order == same α assignment)
+        for nb in range(self.NB):
+            chunk = regs_list[nb * BANK_W:(nb + 1) * BANK_W]
+            chunk_n = regs_n_list[nb * BANK_W:(nb + 1) * BANK_W]
+            sel = _bank_sel(self.C_WBANK, self.C_WOFF, nb, len(chunk))
+            rb = _stackring(chunk)
+            rbn = _stackring(chunk_n)
+            cs.append(alg.sub(rbn,
+                              alg.add(alg.mul(sel, C),
+                                      alg.mul(alg.sub(one, sel), rb))))
         return cs
 
     def first_row(self, alg, local, publics, consts=()):
