@@ -105,6 +105,12 @@ def main() -> None:
     os.replace(tmp, os.path.join(handoff, f"shard{mine}.bin"))
 
     if pid != 0:
+        # stay alive until process 0 finishes the reduce: exiting early
+        # tears down the jax.distributed coordination service under it
+        done = os.path.join(handoff, "reduce.done")
+        deadline = time.time() + 600
+        while not os.path.exists(done) and time.time() < deadline:
+            time.sleep(0.5)
         return
     # gather the remote shard's blob, reduce, verify
     other = os.path.join(handoff, "shard1.bin")
@@ -128,6 +134,8 @@ def main() -> None:
     expose = [(0, 0), (1, 2)]
     ok2 = agg.verify_aggregate(node, shapes, links, expose)
     print("DCN_MAP_OK" if ok2 else "DCN_MAP_FAIL", flush=True)
+    with open(os.path.join(handoff, "reduce.done"), "w") as f:
+        f.write("1")
 
 
 if __name__ == "__main__":

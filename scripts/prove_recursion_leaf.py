@@ -22,6 +22,12 @@ import os
 import sys
 import time
 
+# big-machine memory mode: host-accumulated tiled LDE (no device-side
+# concat double-buffer) + lazy per-column next-row rolls (no second
+# full-LDE copy in the quotient phase)
+os.environ.setdefault("VX_LDE_HOST_ACC", "1")
+os.environ.setdefault("VX_LAZY_ROLL", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _JSON = os.path.join(os.path.dirname(os.path.dirname(

@@ -217,6 +217,23 @@ def coset_lde(evals: gl.Fp, rate_bits: int, shift: int = gl.MULTIPLICATIVE_GROUP
         n_ext = evals[0].shape[-1] << rate_bits
         if b * n_ext > LDE_TILE_CELLS:
             tile = max(1, LDE_TILE_CELLS // n_ext)
+            if _os.environ.get("VX_LDE_HOST_ACC") == "1":
+                # accumulate tiles in HOST memory and upload once: the
+                # device-side concatenate otherwise holds tile list +
+                # result simultaneously (2x the full LDE — the
+                # recursion-leaf OOM). Costs one full round trip through
+                # the tunnel; used by the big-machine proves only.
+                import numpy as _np
+                out_lo = _np.empty((b, n_ext), _np.uint32)
+                out_hi = _np.empty((b, n_ext), _np.uint32)
+                for i in range(0, b, tile):
+                    o = _coset_lde_one((evals[0][i:i + tile],
+                                        evals[1][i:i + tile]),
+                                       rate_bits, shift)
+                    out_lo[i:i + tile] = _np.asarray(o[0])
+                    out_hi[i:i + tile] = _np.asarray(o[1])
+                    del o
+                return jnp.asarray(out_lo), jnp.asarray(out_hi)
             outs = [_coset_lde_one((evals[0][i:i + tile],
                                     evals[1][i:i + tile]),
                                    rate_bits, shift)

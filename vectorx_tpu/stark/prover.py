@@ -461,11 +461,35 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
     def fn(trace_lde, cfp, publics, alpha, gamma, delta, aux_lde):
         alg = BaseVecAlgebra((n_lde,))
         local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
-        # one roll of the whole (C, N_lde) tensor, then per-column views (a
-        # per-column roll costs thousands of ops to trace for limb AIRs)
-        r_lo = jnp.roll(trace_lde[0], -blowup, axis=1)
-        r_hi = jnp.roll(trace_lde[1], -blowup, axis=1)
-        nxt = [(r_lo[c], r_hi[c]) for c in range(num_cols)]
+        import os as _os
+        if _os.environ.get("VX_LAZY_ROLL") == "1":
+            # per-column rolls on access: the bulk roll below is a SECOND
+            # full-LDE copy (6+ GB for the recursion-leaf machine). Lazy
+            # rolls trade ~2 graph ops per accessed column for that copy
+            # — only worth it for big-K machines, hence env-gated.
+            class _LazyNext:
+                def __getitem__(self, c):
+                    if isinstance(c, slice):
+                        return [self[j]
+                                for j in range(*c.indices(num_cols))]
+                    return (jnp.roll(trace_lde[0][c], -blowup),
+                            jnp.roll(trace_lde[1][c], -blowup))
+
+                def __len__(self):
+                    return num_cols
+
+                def __iter__(self):
+                    for c in range(num_cols):
+                        yield self[c]
+
+            nxt = _LazyNext()
+        else:
+            # one roll of the whole (C, N_lde) tensor, then per-column
+            # views (a per-column roll costs thousands of ops to trace
+            # for limb AIRs)
+            r_lo = jnp.roll(trace_lde[0], -blowup, axis=1)
+            r_hi = jnp.roll(trace_lde[1], -blowup, axis=1)
+            nxt = [(r_lo[c], r_hi[c]) for c in range(num_cols)]
         if cfp is not None:
             c_lde = pntt.coset_lde(cfp, rate)
             consts = [(c_lde[0][i], c_lde[1][i])
