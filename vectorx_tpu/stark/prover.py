@@ -458,7 +458,7 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
     n_chunks = num_quotient_chunks(air)
     ram_spec = air.ram_multiset()
 
-    def fn(trace_lde, cfp, publics, alpha, gamma, delta, aux_lde):
+    def fn(trace_lde, c_lde, publics, alpha, gamma, delta, aux_lde):
         alg = BaseVecAlgebra((n_lde,))
         local = [(trace_lde[0][c], trace_lde[1][c]) for c in range(num_cols)]
         import os as _os
@@ -490,14 +490,35 @@ def _quotient_phase_fn(air: Air, log_n: int, rate: int, has_lk: bool,
             r_lo = jnp.roll(trace_lde[0], -blowup, axis=1)
             r_hi = jnp.roll(trace_lde[1], -blowup, axis=1)
             nxt = [(r_lo[c], r_hi[c]) for c in range(num_cols)]
-        if cfp is not None:
-            c_lde = pntt.coset_lde(cfp, rate)
-            consts = [(c_lde[0][i], c_lde[1][i])
-                      for i in range(cfp[0].shape[0])]
-            cr_lo = jnp.roll(c_lde[0], -blowup, axis=1)
-            cr_hi = jnp.roll(c_lde[1], -blowup, axis=1)
-            consts_next = [(cr_lo[i], cr_hi[i])
-                           for i in range(cfp[0].shape[0])]
+        if c_lde is not None:
+            # the constant LDE arrives PRECOMPUTED (constant_vk cache) —
+            # recomputing it in-graph both traced a 2nd NTT of every
+            # const column and broke the host-accumulated tiling under
+            # jit (tracer leak)
+            n_cc = c_lde[0].shape[0]
+            consts = [(c_lde[0][i], c_lde[1][i]) for i in range(n_cc)]
+            import os as _os2
+            if _os2.environ.get("VX_LAZY_ROLL") == "1":
+                class _LazyCNext:
+                    def __getitem__(self, i):
+                        if isinstance(i, slice):
+                            return [self[j]
+                                    for j in range(*i.indices(n_cc))]
+                        return (jnp.roll(c_lde[0][i], -blowup),
+                                jnp.roll(c_lde[1][i], -blowup))
+
+                    def __len__(self):
+                        return n_cc
+
+                    def __iter__(self):
+                        for i in range(n_cc):
+                            yield self[i]
+
+                consts_next = _LazyCNext()
+            else:
+                cr_lo = jnp.roll(c_lde[0], -blowup, axis=1)
+                cr_hi = jnp.roll(c_lde[1], -blowup, axis=1)
+                consts_next = [(cr_lo[i], cr_hi[i]) for i in range(n_cc)]
         else:
             consts, consts_next = [], []
         ct = air.transition(alg, local, nxt, publics, consts, consts_next)
@@ -768,7 +789,7 @@ def _phase_cache(air: Air, attr: str, shared: dict) -> dict:
     return shared.setdefault(ck, {})
 
 
-def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
+def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, c_lde,
                     publics, alpha, gamma, aux_lde, ntt_ops=None,
                     delta_r=None):
     """Per-(air, shape) cached (optionally jitted) quotient phase.
@@ -789,13 +810,13 @@ def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, cfp,
         cache[key] = jax.jit(fn) if phase_jit_enabled() else fn
     unit = ext.zeros(())
     if has_aux:
-        out = cache[key](trace_lde, cfp, publics, alpha,
+        out = cache[key](trace_lde, c_lde, publics, alpha,
                          gamma if gamma is not None else unit,
                          delta_r if delta_r is not None else unit, aux_lde)
     else:
         # gamma/aux unused in the non-lookup trace; static placeholders
         dummy_aux = (jnp.zeros((0, 1 << (log_n + rate)), jnp.uint32),) * 2
-        out = cache[key](trace_lde, cfp, publics, alpha, unit, unit,
+        out = cache[key](trace_lde, c_lde, publics, alpha, unit, unit,
                          dummy_aux)
     if with_tail:
         return out
@@ -882,7 +903,7 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
 
     # -- 3/4: constraints + quotient (ONE jitted program per air/shape) ----
     quot_cols, chunk_evals_lde, chunk_evals_sub = _quotient_phase(
-        air, log_n, rate, trace_lde, cfp, publics, alpha, gamma, aux_lde,
+        air, log_n, rate, trace_lde, c_lde, publics, alpha, gamma, aux_lde,
         ntt_ops=ntt_ops, delta_r=delta_r)
     n_chunks = num_quotient_chunks(air)
     quot_tree = merkle.build_cols(quot_cols, cap_height=config.cap_height)
