@@ -470,7 +470,8 @@ class TestBuildVerb:
         m2 = build_program("header_range", tree_size=4, max_chunks=2,
                            artifacts_dir=str(d2), max_authorities=4)
         assert set(m1["airs"]) == {"header", "range_merkle",
-                                   "authority_chain", "ed25519_shard"}
+                                   "authority_chain", "ed25519_shard",
+                                   "sha512_challenge_shard"}
         for name in m1["airs"]:
             assert m1["airs"][name]["vk_sha256"] == \
                 m2["airs"][name]["vk_sha256"]
