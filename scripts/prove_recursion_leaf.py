@@ -27,6 +27,11 @@ import time
 # full-LDE copy in the quotient phase)
 os.environ.setdefault("VX_LDE_HOST_ACC", "1")
 os.environ.setdefault("VX_LAZY_ROLL", "1")
+# round-5 OOM fix: row-windowed quotient constraint evaluation — the
+# fused phase's full-LDE constraint temps were the round-4 OOM
+# (leaf4_r4.log: 18.62 GB needed vs 15.75 GB). 2^16-row windows bound
+# them at 1/16 with one extra gather of the resident LDEs per block.
+os.environ.setdefault("VX_QUOT_ROWTILE", "65536")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))

@@ -763,6 +763,232 @@ def _deep_tile() -> int:
     return int(os.environ.get("VX_DEEP_TILE", "256"))
 
 
+def _quot_rowtile() -> int:
+    """LDE-row window size for the quotient constraint evaluation.
+
+    The fused quotient program holds every constraint-class temp over the
+    FULL LDE domain — for the recursion outer machine (~1,100 columns ×
+    2^20 LDE rows) those temps alone are ~9 GB and the phase OOMs one
+    v5e (round-4 leaf4 log: 89×2^20 `c_lde` adds at goldilocks.py:240 +
+    16×2^20 group concats at air.py:111). Constraint evaluation is
+    pointwise except for next-row (+blowup) access, so it tiles cleanly
+    over row windows (see _quotient_phase_fn_rowtile). 0 disables;
+    VX_QUOT_ROWTILE=<rows> enables (power of two dividing N_lde)."""
+    import os
+    return int(os.environ.get("VX_QUOT_ROWTILE", "0"))
+
+
+#: device-resident divisor arrays per (log_n, rate) for the row-tiled
+#: quotient phase (4 × (N_lde,) pairs ≈ 32 MB at 2^20 — negligible)
+_DOMAIN_CACHE: dict = {}
+
+
+def _domain_arrays(log_n: int, rate: int):
+    """(x−g_last, 1/Z_H, 1/(x−1), 1/(x−g_last)) on the LDE coset."""
+    key = (log_n, rate)
+    if key not in _DOMAIN_CACHE:
+        shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+        n = 1 << log_n
+        n_lde = n << rate
+        g_last = pow(gl.primitive_root_of_unity(log_n), n - 1, P)
+
+        @jax.jit
+        def build():
+            x = pdom.domain_points(log_n + rate, shift)
+            zh = pdom.vanishing_on_coset(log_n, rate, shift)
+            xmg = gl.sub(x, gl.full((n_lde,), g_last))
+            return (xmg, gl.inv(zh),
+                    gl.inv(gl.sub(x, gl.ones((n_lde,)))), gl.inv(xmg))
+
+        _DOMAIN_CACHE[key] = build()
+    return _DOMAIN_CACHE[key]
+
+
+def _bc_mul_m(a, b):
+    return gl.mul((jnp.broadcast_to(a[0], b[0].shape),
+                   jnp.broadcast_to(a[1], b[0].shape)), b)
+
+
+def _combine_base_m(constraints, alphas_all, k0: int, m: int, acc):
+    """α-combine base-ring constraint classes over an m-point window —
+    the module-level counterpart of the fused path's inner `_combine`
+    (identical op order, so the row-tiled path stays byte-exact)."""
+    k = k0
+    for c in constraints:
+        group = c[0].shape[:-1]
+        g = int(np.prod(group)) if group else 1
+        cf_ = (c[0].reshape(g, m), c[1].reshape(g, m))
+        al = _slice_ext(alphas_all, k, k + g)
+        a_re = (al[0][0][:, None], al[0][1][:, None])
+        a_im = (al[1][0][:, None], al[1][1][:, None])
+        re = gl.sum_mod(_bc_mul_m(a_re, cf_), axis=0)
+        im = gl.sum_mod(_bc_mul_m(a_im, cf_), axis=0)
+        acc = ext.add(acc, (re, im))
+        k += g
+    return acc, k
+
+
+def _combine_ext_m(constraints, alphas_all, k0: int, m: int, acc):
+    k = k0
+    for c in constraints:
+        group = c[0][0].shape[:-1]
+        if not group:
+            acc = ext.add(acc, _ext_vec_scale(_pick_ext(alphas_all, k), c))
+            k += 1
+            continue
+        g = int(np.prod(group))
+        cc = ((c[0][0].reshape(g, m), c[0][1].reshape(g, m)),
+              (c[1][0].reshape(g, m), c[1][1].reshape(g, m)))
+        al = _ext_col(_slice_ext(alphas_all, k, k + g))
+        acc = ext.add(acc, _ext_sum0(ext.mul(al, cc)))
+        k += g
+    return acc, k
+
+
+def _quotient_phase_fn_rowtile(air: Air, log_n: int, rate: int,
+                               has_lk: bool, tile_rows: int):
+    """Row-windowed quotient constraint evaluation (VX_QUOT_ROWTILE).
+
+    ONE jitted block program gathers window [s, s+B+blowup) (mod N_lde)
+    out of the resident trace/const/aux LDEs, evaluates and α-combines
+    every constraint class on the window (base + grouped LogUp + value
+    RAM), divides by the windowed vanishing arrays, and returns the (B,)
+    quotient slice. Live temps are bounded at groups×B instead of
+    groups×N_lde; the codeword is concatenated host-side and fed to the
+    standard chunk-split tail. Byte-exact vs the fused path
+    (tests/test_quotient_rowtile.py). Not combined with the tiled-LogUp
+    scan — AIRs whose pair count exceeds VX_LOGUP_TILE keep the fused
+    path (their (kk2, B) grouped temps would defeat the window bound)."""
+    n = 1 << log_n
+    n_lde = n << rate
+    blowup = 1 << rate
+    B = tile_rows
+    num_cols = air.num_cols
+    ram_spec = air.ram_multiset()
+
+    def fn_block(trace_lde, c_lde, publics, alpha, gamma, delta, aux_lde,
+                 dom, start):
+        alg = BaseVecAlgebra((B,))
+        idx = (start + jnp.arange(B + blowup, dtype=jnp.uint32)) \
+            % jnp.uint32(n_lde)
+        t_lo = jnp.take(trace_lde[0], idx, axis=1)
+        t_hi = jnp.take(trace_lde[1], idx, axis=1)
+        local = [(t_lo[c, :B], t_hi[c, :B]) for c in range(num_cols)]
+        nxt = [(t_lo[c, blowup:], t_hi[c, blowup:])
+               for c in range(num_cols)]
+        if c_lde is not None:
+            c_lo = jnp.take(c_lde[0], idx, axis=1)
+            c_hi = jnp.take(c_lde[1], idx, axis=1)
+            n_cc = c_lde[0].shape[0]
+            consts = [(c_lo[i, :B], c_hi[i, :B]) for i in range(n_cc)]
+            consts_next = [(c_lo[i, blowup:], c_hi[i, blowup:])
+                           for i in range(n_cc)]
+        else:
+            consts, consts_next = [], []
+        ct = air.transition(alg, local, nxt, publics, consts, consts_next)
+        cf = air.first_row(alg, local, publics, consts)
+        cl = air.last_row(alg, local, publics, consts)
+
+        if aux_lde[0].shape[0]:
+            a_lo = jnp.take(aux_lde[0], idx, axis=1)
+            a_hi = jnp.take(aux_lde[1], idx, axis=1)
+        if has_lk:
+            lk_p = _padded_lk(air.lookup_range_columns())
+            kk2 = len(lk_p) // 2
+            inv_t_v = ((a_lo[2 * kk2, :B], a_hi[2 * kk2, :B]),
+                       (a_lo[2 * kk2 + 1, :B], a_hi[2 * kk2 + 1, :B]))
+            m_v = ext.from_base((a_lo[2 * kk2 + 2, :B],
+                                 a_hi[2 * kk2 + 2, :B]))
+            s_v = ((a_lo[2 * kk2 + 3, :B], a_hi[2 * kk2 + 3, :B]),
+                   (a_lo[2 * kk2 + 4, :B], a_hi[2 * kk2 + 4, :B]))
+            s_next_v = ((a_lo[2 * kk2 + 3, blowup:],
+                         a_hi[2 * kk2 + 3, blowup:]),
+                        (a_lo[2 * kk2 + 4, blowup:],
+                         a_hi[2 * kk2 + 4, blowup:]))
+            t_v = ext.from_base((a_lo[2 * kk2 + 5, :B],
+                                 a_hi[2 * kk2 + 5, :B]))
+            t_next_v = ext.from_base((a_lo[2 * kk2 + 5, blowup:],
+                                      a_hi[2 * kk2 + 5, blowup:]))
+            ci = jnp.asarray(lk_p, dtype=jnp.int32)
+            w_all = ext.from_base((t_lo[ci, :B], t_hi[ci, :B]))
+            w0_g = _ext_slice0(w_all, slice(0, None, 2))    # (kk2, B)
+            w1_g = _ext_slice0(w_all, slice(1, None, 2))
+            invs_g = ((a_lo[0:2 * kk2:2, :B], a_hi[0:2 * kk2:2, :B]),
+                      (a_lo[1:2 * kk2:2, :B], a_hi[1:2 * kk2:2, :B]))
+            lk_e, lk_t, lk_f, lk_l = _lookup_constraint_evals(
+                gamma, w0_g, w1_g, invs_g, inv_t_v, m_v, s_v, s_next_v,
+                t_v, t_next_v)
+        else:
+            kk2 = 0
+            lk_e, lk_t, lk_f, lk_l = [], [], [], []
+
+        if ram_spec is not None:
+            mult_c, ld_c, ad_c, act_c, val_col = ram_spec
+            base_r = (2 * kk2 + 6) if has_lk else 0
+            inv_v = ((a_lo[base_r, :B], a_hi[base_r, :B]),
+                     (a_lo[base_r + 1, :B], a_hi[base_r + 1, :B]))
+            sR_v = ((a_lo[base_r + 2, :B], a_hi[base_r + 2, :B]),
+                    (a_lo[base_r + 3, :B], a_hi[base_r + 3, :B]))
+            sR_next = ((a_lo[base_r + 2, blowup:],
+                        a_hi[base_r + 2, blowup:]),
+                       (a_lo[base_r + 3, blowup:],
+                        a_hi[base_r + 3, blowup:]))
+            addr_x = ext.from_base((c_lo[ad_c, :B], c_hi[ad_c, :B]))
+            mult_x = ext.from_base((c_lo[mult_c, :B], c_hi[mult_c, :B]))
+            ld_x = ext.from_base((c_lo[ld_c, :B], c_hi[ld_c, :B]))
+            act_x = ext.from_base((c_lo[act_c, :B], c_hi[act_c, :B]))
+            val_x = ext.from_base(local[val_col])
+            r_e, r_t, r_f, r_l = _ram_constraint_evals(
+                gamma, delta, addr_x, mult_x, ld_x, act_x, val_x, inv_v,
+                sR_v, sR_next)
+            lk_e = lk_e + r_e
+            lk_t = lk_t + r_t
+            lk_f = lk_f + r_f
+            lk_l = lk_l + r_l
+
+        def _gs(c):
+            g = c[0].shape[:-1]
+            return int(np.prod(g)) if g else 1
+
+        def _gse(c):
+            g = c[0][0].shape[:-1]
+            return int(np.prod(g)) if g else 1
+
+        n_constraints = (sum(_gs(c) for c in ct + cf + cl)
+                         + sum(_gse(c)
+                               for c in lk_t + lk_f + lk_l + lk_e))
+        alphas_arr = _alpha_power_array(alpha, n_constraints)
+
+        k = 0
+        ct_comb, k = _combine_base_m(ct, alphas_arr, k, B,
+                                     ext.zeros((B,)))
+        ct_comb, k = _combine_ext_m(lk_t, alphas_arr, k, B, ct_comb)
+        cf_comb, k = _combine_base_m(cf, alphas_arr, k, B,
+                                     ext.zeros((B,)))
+        cf_comb, k = _combine_ext_m(lk_f, alphas_arr, k, B, cf_comb)
+        cl_comb, k = _combine_base_m(cl, alphas_arr, k, B,
+                                     ext.zeros((B,)))
+        cl_comb, k = _combine_ext_m(lk_l, alphas_arr, k, B, cl_comb)
+        ce_comb, k = _combine_ext_m(lk_e, alphas_arr, k, B,
+                                    ext.zeros((B,)))
+
+        def win(a):
+            return (jax.lax.dynamic_slice_in_dim(a[0], start, B),
+                    jax.lax.dynamic_slice_in_dim(a[1], start, B))
+
+        xmg_w = win(dom[0])
+        izh_w = win(dom[1])
+        ixm1_w = win(dom[2])
+        ixmg_w = win(dom[3])
+        q_t = ext.mul_base(ext.mul_base(ct_comb, xmg_w), izh_w)
+        q_f = ext.mul_base(cf_comb, ixm1_w)
+        q_l = ext.mul_base(cl_comb, ixmg_w)
+        q_e = ext.mul_base(ce_comb, izh_w)
+        return ext.add(ext.add(ext.add(q_t, q_f), q_l), q_e)
+
+    return fn_block
+
+
 def phase_jit_enabled() -> bool:
     """Fuse whole prover/verifier phases under one jit?
 
@@ -801,6 +1027,15 @@ def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, c_lde,
     has_lk = len(air.lookup_range_columns()) > 0
     has_aux = has_lk or air.ram_multiset() is not None
     cache = _phase_cache(air, "_vx_qjit", _SHARED_QJIT)
+    n_lde = 1 << (log_n + rate)
+    rt = _quot_rowtile()
+    kk2 = (len(air.lookup_range_columns()) + 1) // 2 if has_lk else 0
+    lg_tile = _logup_tile()
+    if (rt > 0 and n_lde % rt == 0 and n_lde // rt >= 2
+            and not (has_lk and lg_tile and kk2 > lg_tile)):
+        return _quotient_phase_rowtiled(
+            air, log_n, rate, trace_lde, c_lde, publics, alpha, gamma,
+            aux_lde, ntt_ops, delta_r, rt, has_lk, has_aux, cache)
     with_tail = ntt_ops is None
     key = (log_n, rate, len(publics), phase_jit_enabled(), with_tail)
     if key not in cache:
@@ -824,6 +1059,41 @@ def _quotient_phase(air: Air, log_n: int, rate: int, trace_lde, c_lde,
     shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
     return quotient_tail(out, n, num_quotient_chunks(air), rate, shift,
                          intt_fn=ntt_ops.coset_intt,
+                         c2e_fn=ntt_ops.coeffs_to_coset_evals,
+                         ntt_fn=ntt_ops.ntt)
+
+
+def _quotient_phase_rowtiled(air, log_n, rate, trace_lde, c_lde, publics,
+                             alpha, gamma, aux_lde, ntt_ops, delta_r,
+                             rt, has_lk, has_aux, cache):
+    """Drive the VX_QUOT_ROWTILE block program over the LDE domain and
+    run the standard chunk-split tail on the concatenated codeword."""
+    n_lde = 1 << (log_n + rate)
+    key = ("rowtile", log_n, rate, len(publics), rt)
+    if key not in cache:
+        cache[key] = jax.jit(_quotient_phase_fn_rowtile(
+            air, log_n, rate, has_lk, rt))
+    dom = _domain_arrays(log_n, rate)
+    unit = ext.zeros(())
+    if has_aux:
+        aux_in = aux_lde
+        g_in = gamma if gamma is not None else unit
+        d_in = delta_r if delta_r is not None else unit
+    else:
+        aux_in = (jnp.zeros((0, n_lde), jnp.uint32),) * 2
+        g_in, d_in = unit, unit
+    parts = [cache[key](trace_lde, c_lde, publics, alpha, g_in, d_in,
+                        aux_in, dom, jnp.uint32(b * rt))
+             for b in range(n_lde // rt)]
+    quotient = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *parts)
+    n = 1 << log_n
+    shift = gl.MULTIPLICATIVE_GROUP_GENERATOR
+    if ntt_ops is None:
+        return quotient_tail(quotient, n, num_quotient_chunks(air), rate,
+                             shift)
+    return quotient_tail(quotient, n, num_quotient_chunks(air), rate,
+                         shift, intt_fn=ntt_ops.coset_intt,
                          c2e_fn=ntt_ops.coeffs_to_coset_evals,
                          ntt_fn=ntt_ops.ntt)
 
