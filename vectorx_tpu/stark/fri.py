@@ -315,13 +315,11 @@ def _prove_impl(codeword: ext.Fp2, challenger: Challenger,
 # Verifier
 # ---------------------------------------------------------------------------
 
-def verify(proof: FriProof, log_n: int, challenger: Challenger, config: FriConfig):
-    """Returns (ok: bool scalar, indices (q,), layer0 (a, b, leaf_idx)).
-
-    The caller must drive `challenger` identically to the prover before this
-    call, and is responsible for checking the returned layer-0 openings
-    against the outer protocol (DEEP composition values).
-    """
+def transcript(proof: FriProof, log_n: int, challenger: Challenger,
+               config: FriConfig):
+    """Drive the FRI transcript (caps → betas, final coeffs, pow, query
+    indices). Sequential by construction; the value checks live in
+    `check` so they can run under one jitted program."""
     num_layers = config.num_layers(log_n)
     assert len(proof.caps) == num_layers
 
@@ -335,15 +333,23 @@ def verify(proof: FriProof, log_n: int, challenger: Challenger, config: FriConfi
     challenger.observe((jnp.concatenate([fc[0][0], fc[1][0]]),
                         jnp.concatenate([fc[0][1], fc[1][1]])))
 
-    ok = jnp.asarray(True)
     challenger.observe((jnp.atleast_1d(proof.pow_nonce[0]),
                         jnp.atleast_1d(proof.pow_nonce[1])))
     resp = challenger.squeeze(1)
+    indices = challenger.squeeze_indices(config.num_queries, log_n - 1)
+    return betas, resp, indices
+
+
+def check(proof: FriProof, log_n: int, config: FriConfig, betas, resp,
+          indices):
+    """The non-transcript half of FRI verification (jittable): pow mask,
+    per-layer Merkle membership + fold consistency, final-poly match.
+    Returns (ok, layer0 (a, b, leaf_idx))."""
+    num_layers = config.num_layers(log_n)
+    ok = jnp.asarray(True)
     if config.pow_bits > 0:
         pmask = jnp.uint32((1 << config.pow_bits) - 1)
         ok = ok & ((resp[0][0] & pmask) == 0)
-
-    indices = challenger.squeeze_indices(config.num_queries, log_n - 1)
     q = config.num_queries
     idx = indices
     # current claimed value per query, set from layer-0 leaves
@@ -402,4 +408,29 @@ def verify(proof: FriProof, log_n: int, challenger: Challenger, config: FriConfi
         acc = ext.add(ext.mul_base(acc, x), c)
     ok = ok & jnp.all(ext.eq(cur, acc))
 
-    return ok, indices, layer0_vals
+    return ok, layer0_vals
+
+
+@partial(jax.jit, static_argnames=("log_n", "config"))
+def _check_jit(proof: FriProof, log_n: int, config: FriConfig, betas, resp,
+               indices):
+    return check(proof, log_n, config, betas, resp, indices)
+
+
+def verify(proof: FriProof, log_n: int, challenger: Challenger,
+           config: FriConfig):
+    """Returns (ok: bool scalar, indices (q,), layer0 (a, b, leaf_idx)).
+
+    The caller must drive `challenger` identically to the prover before
+    this call, and is responsible for checking the returned layer-0
+    openings against the outer protocol (DEEP composition values).
+    Transcript runs eagerly (inherently sequential); the value checks run
+    under ONE jitted program on accelerators (the eager per-layer Merkle
+    walks were ~150 tunnel dispatches of warm verify latency)."""
+    from .prover import phase_jit_enabled
+    betas, resp, indices = transcript(proof, log_n, challenger, config)
+    if phase_jit_enabled():
+        ok, layer0 = _check_jit(proof, log_n, config, betas, resp, indices)
+    else:
+        ok, layer0 = check(proof, log_n, config, betas, resp, indices)
+    return ok, indices, layer0

@@ -156,6 +156,7 @@ def prove(tree: MerkleTree, index) -> Digest:
     return jnp.stack(sib_lo), jnp.stack(sib_hi)
 
 
+@jax.jit
 def verify_batch(cap: Digest, indices: jax.Array, leaf_rows: gl.Fp,
                  paths: Digest) -> jax.Array:
     """Batched path verification — (q,) indices, (q, w) rows, (q, depth, 4)
@@ -163,18 +164,24 @@ def verify_batch(cap: Digest, indices: jax.Array, leaf_rows: gl.Fp,
 
     One batched Poseidon call per level (NOT a vmap over scalar verifies:
     vmap would inline the permute's jaxpr per query and blow up
-    trace/compile size ~10x).
-    """
+    trace/compile size ~10x), and the level walk runs under lax.scan in
+    ONE jitted program — the eager per-level loop was ~depth tunnel
+    dispatches per opened tree (~200 for a production header verify, the
+    round-4 verify-latency gap)."""
     digest = ps.hash_many(leaf_rows)  # (q, 4)
     idx = jnp.asarray(indices, jnp.int32)
     depth = paths[0].shape[1]
-    for d in range(depth):
-        sib = (paths[0][:, d], paths[1][:, d])  # (q, 4)
-        is_right = ((idx & 1) == 1)[:, None]
-        left = gl.select(is_right, sib, digest)
-        right = gl.select(is_right, digest, sib)
-        digest = ps.hash_two_to_one(left, right)
-        idx = idx >> 1
+    if depth:
+        sibs = (jnp.moveaxis(paths[0], 1, 0), jnp.moveaxis(paths[1], 1, 0))
+
+        def level(carry, sib):
+            dg, ix = carry
+            is_right = ((ix & 1) == 1)[:, None]
+            left = gl.select(is_right, sib, dg)
+            right = gl.select(is_right, dg, sib)
+            return (ps.hash_two_to_one(left, right), ix >> 1), None
+
+        (digest, idx), _ = jax.lax.scan(level, (digest, idx), sibs)
     cap_entry = (cap[0][idx], cap[1][idx])
     return jnp.all(gl.eq(digest, cap_entry), axis=-1)
 

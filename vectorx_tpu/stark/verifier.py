@@ -177,6 +177,75 @@ def _ali_phase_fn(air: Air, log_n: int, has_lk: bool, n_consts: int):
 
 
 _SHARED_VJIT: dict = {}
+_SHARED_DJIT: dict = {}
+
+
+def _deep_phase_fn(num_cols: int, n_aux: int, n_consts: int, n_chunks: int,
+                   q: int, log_n_lde: int, shift: int, has_aux: bool,
+                   has_consts: bool):
+    """Build the (traceable) DEEP recomputation for one AIR/shape: both
+    query sides' F(x) from the opened rows + ζ-openings, under one
+    program. Pure function of its arguments so the compiled program is
+    reused across proofs (closure-captured proof arrays would bake into
+    the executable as constants and force a recompile per proof)."""
+    n_terms = 2 * num_cols + 2 * n_aux + 2 * n_consts + n_chunks
+
+    def fn(beta, zeta, g_zeta, idx_a, idx_b, rows_a, rows_b, opens):
+        (tz, tgz, az, agz, cz, cgz, qz) = opens
+        betas_arr = _alpha_power_array(beta, n_terms)
+        x_all = pdom.domain_points(log_n_lde, shift)
+
+        def deep_at(idx, rows):
+            trace_rows, quot_rows, aux_rows, const_rows = rows
+            x = (x_all[0][idx], x_all[1][idx])            # (q,) base
+            xe = ext.from_base(x)
+            inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, q)))
+            inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, q)))
+
+            tv = ext.from_base((trace_rows[0].T, trace_rows[1].T))  # (C, q)
+            diff_z = ext.sub(tv, _ext_col(tz))
+            F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
+                               _slice_ext(betas_arr, 0, num_cols))
+            diff_gz = ext.sub(tv, _ext_col(tgz))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(diff_gz, _ext_row(inv_xgz)),
+                _slice_ext(betas_arr, num_cols, 2 * num_cols)))
+            kbase = 2 * num_cols
+            if has_aux:
+                av = ext.from_base((aux_rows[0].T, aux_rows[1].T))  # (A, q)
+                diff_az = ext.sub(av, _ext_col(az))
+                F = ext.add(F, _weighted_sum0(
+                    ext.mul(diff_az, _ext_row(inv_xz)),
+                    _slice_ext(betas_arr, kbase, kbase + n_aux)))
+                diff_agz = ext.sub(av, _ext_col(agz))
+                F = ext.add(F, _weighted_sum0(
+                    ext.mul(diff_agz, _ext_row(inv_xgz)),
+                    _slice_ext(betas_arr, kbase + n_aux,
+                               kbase + 2 * n_aux)))
+                kbase += 2 * n_aux
+            if has_consts:
+                cv = ext.from_base((const_rows[0].T, const_rows[1].T))
+                diff_cz = ext.sub(cv, _ext_col(cz))
+                F = ext.add(F, _weighted_sum0(
+                    ext.mul(diff_cz, _ext_row(inv_xz)),
+                    _slice_ext(betas_arr, kbase, kbase + n_consts)))
+                diff_cgz = ext.sub(cv, _ext_col(cgz))
+                F = ext.add(F, _weighted_sum0(
+                    ext.mul(diff_cgz, _ext_row(inv_xgz)),
+                    _slice_ext(betas_arr, kbase + n_consts,
+                               kbase + 2 * n_consts)))
+                kbase += 2 * n_consts
+            qv = ((quot_rows[0][:, 0::2].T, quot_rows[1][:, 0::2].T),
+                  (quot_rows[0][:, 1::2].T, quot_rows[1][:, 1::2].T))
+            diff_q = ext.sub(qv, _ext_col(qz))
+            F = ext.add(F, _weighted_sum0(
+                ext.mul(diff_q, _ext_row(inv_xz)),
+                _slice_ext(betas_arr, kbase, n_terms)))
+            return F
+
+        return deep_at(idx_a, rows_a), deep_at(idx_b, rows_b)
+
+    return fn
 
 
 def _ali_phase(air: Air, log_n: int, proof: StarkProof, publics, alpha,
@@ -311,61 +380,32 @@ def verify(air: Air, proof: StarkProof, publics: List[gl.Fp], log_n: int,
                              proof.const_paths_b)
 
     # -- 3: DEEP composition recomputation at query points ------------------
-    x_all = pdom.domain_points(log_n_lde, shift)
+    # ONE cached program per (air, shape) covering both query sides —
+    # the eager closure was ~100 tunnel dispatches of warm verify latency
     g_zeta = ext.mul_base(zeta, gl.full((), g_dom))
-
     n_aux = proof.aux_zeta[0][0].shape[0] if has_aux else 0
-    n_terms = 2 * num_cols + 2 * n_aux + 2 * n_consts + n_chunks
-    betas_arr = _alpha_power_array(beta, n_terms)
 
-    def deep_at(idx, trace_rows, quot_rows, aux_rows, const_rows):
-        x = (x_all[0][idx], x_all[1][idx])            # (q,) base
-        xe = ext.from_base(x)
-        inv_xz = ext.inv(ext.sub(xe, _broadcast_ext(zeta, q)))
-        inv_xgz = ext.inv(ext.sub(xe, _broadcast_ext(g_zeta, q)))
-
-        tv = ext.from_base((trace_rows[0].T, trace_rows[1].T))   # (C, q)
-        diff_z = ext.sub(tv, _ext_col(proof.trace_zeta))
-        F = _weighted_sum0(ext.mul(diff_z, _ext_row(inv_xz)),
-                           _slice_ext(betas_arr, 0, num_cols))
-        diff_gz = ext.sub(tv, _ext_col(proof.trace_gzeta))
-        F = ext.add(F, _weighted_sum0(ext.mul(diff_gz, _ext_row(inv_xgz)),
-                                      _slice_ext(betas_arr, num_cols, 2 * num_cols)))
-        kbase = 2 * num_cols
-        if has_aux:
-            av = ext.from_base((aux_rows[0].T, aux_rows[1].T))   # (A, q)
-            diff_az = ext.sub(av, _ext_col(proof.aux_zeta))
-            F = ext.add(F, _weighted_sum0(
-                ext.mul(diff_az, _ext_row(inv_xz)),
-                _slice_ext(betas_arr, kbase, kbase + n_aux)))
-            diff_agz = ext.sub(av, _ext_col(proof.aux_gzeta))
-            F = ext.add(F, _weighted_sum0(
-                ext.mul(diff_agz, _ext_row(inv_xgz)),
-                _slice_ext(betas_arr, kbase + n_aux, kbase + 2 * n_aux)))
-            kbase += 2 * n_aux
-        if has_consts:
-            cv = ext.from_base((const_rows[0].T, const_rows[1].T))  # (Cc, q)
-            diff_cz = ext.sub(cv, _ext_col(proof.const_zeta))
-            F = ext.add(F, _weighted_sum0(
-                ext.mul(diff_cz, _ext_row(inv_xz)),
-                _slice_ext(betas_arr, kbase, kbase + n_consts)))
-            diff_cgz = ext.sub(cv, _ext_col(proof.const_gzeta))
-            F = ext.add(F, _weighted_sum0(
-                ext.mul(diff_cgz, _ext_row(inv_xgz)),
-                _slice_ext(betas_arr, kbase + n_consts,
-                           kbase + 2 * n_consts)))
-            kbase += 2 * n_consts
-        qv = ((quot_rows[0][:, 0::2].T, quot_rows[1][:, 0::2].T),
-              (quot_rows[0][:, 1::2].T, quot_rows[1][:, 1::2].T))  # (chunks, q)
-        diff_q = ext.sub(qv, _ext_col(proof.quotient_zeta))
-        F = ext.add(F, _weighted_sum0(ext.mul(diff_q, _ext_row(inv_xz)),
-                                      _slice_ext(betas_arr, kbase, n_terms)))
-        return F
-
-    F_a = deep_at(idx_a, proof.trace_rows_a, proof.quot_rows_a,
-                  proof.aux_rows_a, proof.const_rows_a)
-    F_b = deep_at(idx_b, proof.trace_rows_b, proof.quot_rows_b,
-                  proof.aux_rows_b, proof.const_rows_b)
+    from .prover import _phase_cache, phase_jit_enabled
+    dcache = _phase_cache(air, "_vx_djit", _SHARED_DJIT)
+    dkey = ("deep", log_n, rate, q, n_aux, n_consts, phase_jit_enabled())
+    if dkey not in dcache:
+        fn = _deep_phase_fn(num_cols, n_aux, n_consts, n_chunks, q,
+                            log_n_lde, shift, has_aux, has_consts)
+        dcache[dkey] = jax.jit(fn) if phase_jit_enabled() else fn
+    opens = (proof.trace_zeta, proof.trace_gzeta,
+             proof.aux_zeta if has_aux else None,
+             proof.aux_gzeta if has_aux else None,
+             proof.const_zeta if has_consts else None,
+             proof.const_gzeta if has_consts else None,
+             proof.quotient_zeta)
+    rows_a = (proof.trace_rows_a, proof.quot_rows_a,
+              proof.aux_rows_a if has_aux else None,
+              proof.const_rows_a if has_consts else None)
+    rows_b = (proof.trace_rows_b, proof.quot_rows_b,
+              proof.aux_rows_b if has_aux else None,
+              proof.const_rows_b if has_consts else None)
+    F_a, F_b = dcache[dkey](beta, zeta, g_zeta, idx_a, idx_b, rows_a,
+                            rows_b, opens)
     if _os.environ.get("VX_VERIFY_DEBUG"):
         print("FRI:", bool(fri_ok), "after merkle:", bool(ok),
               "deep_a:", bool(jnp.all(ext.eq(F_a, a_vals))),
