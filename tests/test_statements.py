@@ -44,10 +44,17 @@ def setup():
         target_hash, TRUSTED_BLOCK + N_HEADERS, ROUND, SET_ID)
     sigs = [k.sign(msg) for k in keys]
 
-    bundle = st.prove_header_range(
-        TRUSTED_BLOCK, TRUSTED_BLOCK + N_HEADERS, headers, pubs, sigs,
-        SET_ID, ROUND, CFG,
-        tree_size=TREE, max_chunks=MAX_CHUNKS, max_authorities=N_AUTH)
+    # procs=2: the header map proofs run in two WORKER PROCESSES and
+    # return through the checkpoint store (parallel/map_worker — the
+    # reference's platform-dispatch seam, bin/vectorx.rs:122-130); the
+    # rest of the bundle proves in-process as before.
+    import tempfile
+    with tempfile.TemporaryDirectory(prefix="vx_ckpt_") as ckpt:
+        bundle = st.prove_header_range(
+            TRUSTED_BLOCK, TRUSTED_BLOCK + N_HEADERS, headers, pubs, sigs,
+            SET_ID, ROUND, CFG,
+            tree_size=TREE, max_chunks=MAX_CHUNKS, max_authorities=N_AUTH,
+            checkpoint=ckpt, procs=2)
     return dict(trusted_hash=trusted_hash, headers=headers, metas=metas,
                 target_hash=target_hash, pubs=pubs, bundle=bundle)
 

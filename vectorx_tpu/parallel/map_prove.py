@@ -42,6 +42,79 @@ def prove_many(air: Air, traces: Sequence, publics: Sequence,
     return proofs
 
 
+def prove_headers_procs(headers: Sequence[bytes], max_chunks: int,
+                        config: prover.StarkConfig, checkpoint_dir: str,
+                        procs: int, timeout_s: float = 3600.0) -> None:
+    """Scatter the per-header map proofs across worker PROCESSES.
+
+    The reference's operator ships map jobs to platform machines and
+    collects proof artifacts (`bin/vectorx.rs:122-130`); here each
+    worker process (`vectorx_tpu.parallel.map_worker`) proves a
+    round-robin shard of the headers and hands the artifacts back
+    through the content-addressed checkpoint store — after this returns,
+    `statements.prove_header_range` with the same checkpoint dir hits
+    every header proof. Coordination is process exit codes (a non-zero
+    worker raises with its stderr tail), not sentinel files.
+
+    On a single-accelerator host run this with a CPU backend (workers
+    would contend for the one chip); in a multi-host deployment the
+    spawn can be replaced by remote dispatch — the job-file + checkpoint
+    wire format is the seam.
+    """
+    import binascii
+    import json as _json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    from ..stark import serialize
+
+    procs = max(1, min(procs, len(headers)))
+    cfg_hex = binascii.hexlify(serialize.serialize_config(config)).decode()
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # a worker proves its units SEQUENTIALLY — a forced multi-device CPU
+    # mesh inherited from the parent (tests: 8 virtual devices) just
+    # oversubscribes the host x procs; pin workers to one device
+    if "xla_force_host_platform_device_count" in env.get("XLA_FLAGS", ""):
+        import re as _re
+        env["XLA_FLAGS"] = _re.sub(
+            r"--xla_force_host_platform_device_count=\d+",
+            "--xla_force_host_platform_device_count=1", env["XLA_FLAGS"])
+    with tempfile.TemporaryDirectory(prefix="vx_map_") as td:
+        workers = []
+        for p in range(procs):
+            shard = [binascii.hexlify(h).decode()
+                     for h in headers[p::procs]]
+            job = {"kind": "header", "headers": shard,
+                   "max_chunks": max_chunks, "config": cfg_hex,
+                   "checkpoint": checkpoint_dir}
+            jf = os.path.join(td, f"job{p}.json")
+            with open(jf, "w") as f:
+                _json.dump(job, f)
+            workers.append(subprocess.Popen(
+                [sys.executable, "-m", "vectorx_tpu.parallel.map_worker",
+                 jf], env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True))
+        errs = []
+        for p, w in enumerate(workers):
+            try:
+                _, err = w.communicate(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                w.kill()
+                _, err = w.communicate()
+                errs.append(f"worker {p}: timeout after {timeout_s}s")
+                continue
+            if w.returncode != 0:
+                errs.append(f"worker {p}: rc={w.returncode}: {err[-500:]}")
+        if errs:
+            raise RuntimeError("map-proof dispatch failed: "
+                               + "; ".join(errs))
+
+
 def verify_many(air: Air, proofs: Sequence, publics: Sequence, log_n: int,
                 config: prover.StarkConfig) -> bool:
     oks = [verifier.verify(air, pf, pubs, log_n, config)

@@ -103,7 +103,8 @@ def run_program(program: str, input_bytes: bytes, source,
                 tree_size: int = consts.HEADER_RANGE_TREE_SIZE_SMALL,
                 stark: bool = False, proof_path: Optional[str] = None,
                 max_chunks: Optional[int] = None,
-                checkpoint: Optional[str] = None) -> bytes:
+                checkpoint: Optional[str] = None,
+                procs: int = 1) -> bytes:
     if program == "dummy_header_range":
         return dummy.dummy_header_range(input_bytes, source, tree_size)
     if program == "dummy_rotate":
@@ -112,12 +113,12 @@ def run_program(program: str, input_bytes: bytes, source,
         if stark:
             return _prove_header_range_stark(input_bytes, source, tree_size,
                                              proof_path, max_chunks,
-                                             checkpoint)
+                                             checkpoint, procs=procs)
         return _prove_header_range(input_bytes, source, tree_size)
     if program == "rotate":
         if stark:
             return _prove_rotate_stark(input_bytes, source, proof_path,
-                                       max_chunks, checkpoint)
+                                       max_chunks, checkpoint, procs=procs)
         return _prove_rotate(input_bytes, source)
     raise SystemExit(f"unknown program: {program}")
 
@@ -146,7 +147,8 @@ def _default_max_chunks(headers) -> int:
 def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
                               proof_path: Optional[str],
                               max_chunks: Optional[int],
-                              checkpoint: Optional[str] = None) -> bytes:
+                              checkpoint: Optional[str] = None,
+                              procs: int = 1) -> bytes:
     """Full STARK bundle for header_range (stark/statements.py): proves,
     self-verifies, writes the serialized bundle artifact, returns the
     96-byte contract output."""
@@ -164,7 +166,7 @@ def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
         tree_size=tree_size,
         max_chunks=max_chunks or _default_max_chunks(headers),
         max_authorities=consts.MAX_AUTHORITY_SET_SIZE,
-        checkpoint=checkpoint)
+        checkpoint=checkpoint, procs=procs)
     target_hash, state_c, data_c = st.verify_header_range(
         bundle, inp.trusted_block, inp.trusted_header_hash,
         inp.authority_set_id, inp.authority_set_hash, inp.target_block,
@@ -178,7 +180,8 @@ def _prove_header_range_stark(input_bytes: bytes, source, tree_size: int,
 def _prove_rotate_stark(input_bytes: bytes, source,
                         proof_path: Optional[str],
                         max_chunks: Optional[int],
-                        checkpoint: Optional[str] = None) -> bytes:
+                        checkpoint: Optional[str] = None,
+                        procs: int = 1) -> bytes:
     from ..stark import statements as st
     from ..stark.hints import fetch_rotate_witness
 
@@ -192,7 +195,7 @@ def _prove_rotate_stark(input_bytes: bytes, source,
         round_, config,
         max_chunks=max_chunks or _default_max_chunks([header]),
         max_authorities=consts.MAX_AUTHORITY_SET_SIZE,
-        checkpoint=checkpoint)
+        checkpoint=checkpoint, procs=procs)
     new_hash = st.verify_rotate(bundle, inp.authority_set_id,
                                 inp.authority_set_hash, config)
     if proof_path:
@@ -449,6 +452,10 @@ def main(argv=None) -> int:
                         "interrupted bundle prove resumes (SURVEY.md 5.4)")
     p.add_argument("--max-chunks", type=int,
                    help="HeaderAir Blake2b chunk capacity override")
+    p.add_argument("--procs", type=int, default=1,
+                   help="map-proof worker processes (reference analogue: "
+                        "the platform scattering leaf jobs to machines, "
+                        "bin/vectorx.rs:122-130); needs --checkpoint")
     p.add_argument("--artifacts", help="build-artifact directory")
     p.add_argument("--warm", action="store_true",
                    help="build: also run one throwaway prove per AIR shape")
@@ -483,7 +490,7 @@ def main(argv=None) -> int:
     out = run_program(args.program, _load_input(args.input), source,
                       args.tree_size, stark=args.stark,
                       proof_path=args.proof, max_chunks=args.max_chunks,
-                      checkpoint=args.checkpoint)
+                      checkpoint=args.checkpoint, procs=args.procs)
     result = {"output": "0x" + out.hex(), "ok": True}
     with open(args.output, "w") as f:
         json.dump(result, f)

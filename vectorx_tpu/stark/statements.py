@@ -127,12 +127,23 @@ def prove_header_range(
     ed_B: int = 8,
     devices=None,
     checkpoint: Optional[str] = None,
+    procs: int = 1,
 ) -> HeaderRangeStarkProof:
     n = len(headers)
     assert n == target_block - trusted_block and 0 < n <= tree_size
     devices = devices or jax.devices()
     from .checkpoint import Checkpoint
     cp = Checkpoint(checkpoint)
+
+    if procs > 1:
+        # multi-process map phase (reference: bin/vectorx.rs:122-130 —
+        # leaf jobs scattered to machines): workers prove the per-header
+        # shards and hand artifacts back via the checkpoint store, so the
+        # loop below hits cp for every header.
+        assert checkpoint, "procs > 1 needs a checkpoint dir for handoff"
+        from ..parallel.map_prove import prove_headers_procs
+        prove_headers_procs([bytes(h) for h in headers], max_chunks,
+                            config, checkpoint, procs)
 
     def put(i, trace, pubs):
         dev = devices[i % len(devices)]
@@ -454,7 +465,10 @@ def prove_rotate(
     ed_B: int = 8,
     devices=None,
     checkpoint: Optional[str] = None,
+    procs: int = 1,                    # accepted for CLI symmetry; the
+                                       # rotate map phase is one header
 ) -> RotateStarkProof:
+    del procs
     devices = devices or jax.devices()
     from .checkpoint import Checkpoint
     cp = Checkpoint(checkpoint)
