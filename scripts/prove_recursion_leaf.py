@@ -31,7 +31,11 @@ os.environ.setdefault("VX_LAZY_ROLL", "1")
 # fused phase's full-LDE constraint temps were the round-4 OOM
 # (leaf4_r4.log: 18.62 GB needed vs 15.75 GB). 2^16-row windows bound
 # them at 1/16 with one extra gather of the resident LDEs per block.
-os.environ.setdefault("VX_QUOT_ROWTILE", "65536")
+os.environ.setdefault("VX_QUOT_ROWTILE", "32768")
+# round-5 attempt-3: memory-lean openings (no full stacked concatenate;
+# per-part barycentric, tiled) + tighter DEEP deviation tile
+os.environ.setdefault("VX_OPEN_SPLIT", "1")
+os.environ.setdefault("VX_DEEP_TILE", "64")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -63,15 +67,29 @@ def main():
                                dtype=np.uint8))
     hdr = body + bytes(rng.integers(0, 256, 32, dtype=np.uint8))
 
+    # inner-proof checkpoint: reruns of the OUTER phases (the part still
+    # being tuned) skip the ~16-min inner prove + verify
+    from vectorx_tpu.stark.checkpoint import Checkpoint
+    cp = Checkpoint(os.environ.get("VX_LEAF_CKPT",
+                                   "/root/repo/.leaf_ckpt"))
     t0 = time.time()
-    trace, publics, _ = air_h.make_trace(hdr)
-    pubs_fp = [gl.to_fp(int(p)) for p in publics]
-    proof = prover.prove(air_h, trace, pubs_fp, inner_cfg)
-    np.asarray(proof.trace_cap[0])
+    hit = cp.load("leaf-inner", inner_cfg, (hdr,), air_h)
+    if hit is not None:
+        proof, publics = hit
+        pubs_fp = [gl.to_fp(int(p)) for p in publics]
+        print(f"inner header proof: checkpoint hit", flush=True)
+    else:
+        trace, publics, _ = air_h.make_trace(hdr)
+        pubs_fp = [gl.to_fp(int(p)) for p in publics]
+        proof = prover.prove(air_h, trace, pubs_fp, inner_cfg)
+        np.asarray(proof.trace_cap[0])
+        t_inner = time.time() - t0
+        print(f"inner header proof: {t_inner:.1f}s", flush=True)
+        assert bool(verifier.verify(air_h, proof, pubs_fp, 7, inner_cfg))
+        print("inner verifies", flush=True)
+        cp.store("leaf-inner", inner_cfg, (hdr,), proof,
+                 [int(x) for x in publics])
     t_inner = time.time() - t0
-    print(f"inner header proof: {t_inner:.1f}s", flush=True)
-    assert bool(verifier.verify(air_h, proof, pubs_fp, 7, inner_cfg))
-    print("inner verifies", flush=True)
 
     t0 = time.time()
     stats = {}
@@ -85,10 +103,33 @@ def main():
           f"K={oair.K} cols={oair.num_cols}+{oair.num_consts}", flush=True)
 
     t0 = time.time()
-    otrace, opubs = oair.make_trace()
+    # witness cache: the outer trace is deterministic given the recorded
+    # schedule + inner proof (both checkpointed), so reruns skip the
+    # ~10-min make_trace; kept HOST-resident through the heavy LDE +
+    # quotient phases (VX_LDE_HOST_ACC uploads tile-wise; the opening
+    # phase re-uploads tiled via VX_OPEN_SPLIT) — the resident device
+    # copy was ~20% of HBM during the round-4/5 OOMs
+    wit_dir = os.environ.get("VX_LEAF_CKPT", "/root/repo/.leaf_ckpt")
+    wit_key = str(oair.schedule_digest())[:16]
+    wlo = os.path.join(wit_dir, f"otrace_{wit_key}_lo.npy")
+    whi = os.path.join(wit_dir, f"otrace_{wit_key}_hi.npy")
+    wpu = os.path.join(wit_dir, f"opubs_{wit_key}.json")
+    if os.path.exists(wlo) and os.path.exists(whi) and os.path.exists(wpu):
+        otrace = (np.load(wlo), np.load(whi))
+        with open(wpu) as f:
+            opubs = [int(x) for x in json.load(f)]
+        print("outer witness: cache hit", flush=True)
+    else:
+        otrace, opubs = oair.make_trace()
+        otrace = (np.asarray(otrace[0]), np.asarray(otrace[1]))
+        os.makedirs(wit_dir, exist_ok=True)
+        np.save(wlo, otrace[0])
+        np.save(whi, otrace[1])
+        with open(wpu, "w") as f:
+            json.dump([int(x) for x in opubs], f)
     opubs_fp = [gl.to_fp(p) for p in opubs]
     t_wit = time.time() - t0
-    print(f"outer witness: {t_wit:.1f}s", flush=True)
+    print(f"outer witness: {t_wit:.1f}s (host-resident)", flush=True)
 
     t0 = time.time()
     oproof = prover.prove(oair, otrace, opubs_fp, outer_cfg)

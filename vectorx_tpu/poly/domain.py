@@ -39,8 +39,36 @@ def domain_points(log_n: int, shift: int = 1) -> gl.Fp:
     return pts
 
 
+def barycentric_eval(evals: gl.Fp, zeta: ext.Fp2, log_n: int,
+                     shift: int = 1) -> ext.Fp2:
+    """Evaluate polys from their subgroup/coset evals at an out-of-domain
+    point — tiled over the leading (poly) axis when the stack is large.
+
+    The recursion leaf's ζ-opening stacks ~1,100 polys × 2^19 evals; the
+    fused program's (C, N) ext temps are ~9 GB and OOMed one v5e
+    (round-5 leaf2 log: four 2.25 GB select_n temps). Per-poly results
+    are independent, so row tiles are byte-exact; VX_BARY_TILE_CELLS
+    (default 2^26) bounds each jitted call's working set."""
+    import os
+    lead = evals[0].shape[:-1]
+    n = evals[0].shape[-1]
+    cells = int(np.prod(lead)) * n if lead else n
+    tile_cells = int(os.environ.get("VX_BARY_TILE_CELLS", str(1 << 26)))
+    if len(lead) == 1 and cells > tile_cells > 0:
+        rows = max(1, tile_cells // n)
+        parts = [
+            _barycentric_eval_jit((evals[0][i:i + rows],
+                                   evals[1][i:i + rows]),
+                                  zeta, log_n, shift)
+            for i in range(0, lead[0], rows)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *parts)
+    return _barycentric_eval_jit(evals, zeta, log_n, shift)
+
+
 @partial(jax.jit, static_argnames=("log_n", "shift"))
-def barycentric_eval(evals: gl.Fp, zeta: ext.Fp2, log_n: int, shift: int = 1) -> ext.Fp2:
+def _barycentric_eval_jit(evals: gl.Fp, zeta: ext.Fp2, log_n: int, shift: int = 1) -> ext.Fp2:
     """Evaluate polys from their subgroup/coset evals at an out-of-domain point.
 
     evals: (..., N) base-field evaluations on shift*H (natural order).

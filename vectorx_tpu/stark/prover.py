@@ -1082,9 +1082,18 @@ def _quotient_phase_rowtiled(air, log_n, rate, trace_lde, c_lde, publics,
     else:
         aux_in = (jnp.zeros((0, n_lde), jnp.uint32),) * 2
         g_in, d_in = unit, unit
-    parts = [cache[key](trace_lde, c_lde, publics, alpha, g_in, d_in,
-                        aux_in, dom, jnp.uint32(b * rt))
-             for b in range(n_lde // rt)]
+    import os as _os
+    sync = _os.environ.get("VX_QUOT_SYNC", "1") == "1"
+    parts = []
+    for b in range(n_lde // rt):
+        p = cache[key](trace_lde, c_lde, publics, alpha, g_in, d_in,
+                       aux_in, dom, jnp.uint32(b * rt))
+        if sync:
+            # serialize block executions: the axon runtime otherwise
+            # queues all blocks and their workspaces can coexist on HBM
+            # (a 4-byte output fetch is the only reliable barrier here)
+            np.asarray(p[0][0][0])
+        parts.append(p)
     quotient = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs), *parts)
     n = 1 << log_n
@@ -1192,13 +1201,32 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     aux_part_hi = [aux_trace[1]] if has_aux else []
     const_part = [cfp[0]] if has_consts else []
     const_part_hi = [cfp[1]] if has_consts else []
-    stack_lo = jnp.concatenate(
-        [trace[0]] + aux_part + const_part
-        + [c[j][0][None, :] for c in chunk_evals_sub for j in (0, 1)])
-    stack_hi = jnp.concatenate(
-        [trace[1]] + aux_part_hi + const_part_hi
-        + [c[j][1][None, :] for c in chunk_evals_sub for j in (0, 1)])
-    opened = pdom.barycentric_eval((stack_lo, stack_hi), zeta, log_n)
+    chunk_lo = [c[j][0][None, :] for c in chunk_evals_sub for j in (0, 1)]
+    chunk_hi = [c[j][1][None, :] for c in chunk_evals_sub for j in (0, 1)]
+    import os as _os
+    if _os.environ.get("VX_OPEN_SPLIT") == "1":
+        # memory-lean openings for big machines: evaluate each component
+        # stack separately (barycentric results are per-poly independent,
+        # so this is byte-exact) instead of materializing the full
+        # (C_total, N) device concatenate — 4.6 GB for the recursion
+        # leaf, whose opening phase OOMed round-5 attempt 2. Combined
+        # with VX_BARY_TILE_CELLS the working set stays tile-bounded,
+        # and a host-resident trace uploads tile-wise.
+        def _bary_cat(parts_lo, parts_hi, point):
+            outs = [pdom.barycentric_eval((plo, phi), point, log_n)
+                    for plo, phi in zip(parts_lo, parts_hi)]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *outs)
+
+        opened = _bary_cat([trace[0]] + aux_part + const_part + chunk_lo,
+                           [trace[1]] + aux_part_hi + const_part_hi
+                           + chunk_hi, zeta)
+    else:
+        stack_lo = jnp.concatenate(
+            [trace[0]] + aux_part + const_part + chunk_lo)
+        stack_hi = jnp.concatenate(
+            [trace[1]] + aux_part_hi + const_part_hi + chunk_hi)
+        opened = pdom.barycentric_eval((stack_lo, stack_hi), zeta, log_n)
 
     def _sl(op, a, b):
         return ((op[0][0][a:b], op[0][1][a:b]), (op[1][0][a:b], op[1][1][a:b]))
@@ -1208,9 +1236,15 @@ def prove(air: Air, trace: gl.Fp, publics: List[gl.Fp], config: StarkConfig,
     const_zeta = (_sl(opened, num_cols + n_aux,
                       num_cols + n_aux + n_consts) if has_consts else None)
     if has_aux or has_consts:
-        gstack = (jnp.concatenate([trace[0]] + aux_part + const_part),
-                  jnp.concatenate([trace[1]] + aux_part_hi + const_part_hi))
-        opened_g = pdom.barycentric_eval(gstack, g_zeta, log_n)
+        if _os.environ.get("VX_OPEN_SPLIT") == "1":
+            opened_g = _bary_cat([trace[0]] + aux_part + const_part,
+                                 [trace[1]] + aux_part_hi + const_part_hi,
+                                 g_zeta)
+        else:
+            gstack = (jnp.concatenate([trace[0]] + aux_part + const_part),
+                      jnp.concatenate([trace[1]] + aux_part_hi
+                                      + const_part_hi))
+            opened_g = pdom.barycentric_eval(gstack, g_zeta, log_n)
         trace_gzeta = _sl(opened_g, 0, num_cols)
         aux_gzeta = (_sl(opened_g, num_cols, num_cols + n_aux)
                      if has_aux else None)
