@@ -1381,12 +1381,15 @@ def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, const_lde, ch_stack,
                 _slice_ext(betas_arr, k0 + ncol, k0 + 2 * ncol)))
         n_tiles = -(-ncol // tile)
         padc = n_tiles * tile - ncol
-
-        def _pad_cols(fp):
-            return (jnp.pad(fp[0], ((0, padc), (0, 0))).reshape(
-                        n_tiles, tile, n_lde),
-                    jnp.pad(fp[1], ((0, padc), (0, 0))).reshape(
-                        n_tiles, tile, n_lde))
+        # tail tiles gather CLAMPED column indices instead of padding the
+        # whole LDE into an (n_tiles, tile, N_lde) scan input — that pad
+        # was a full 2x LDE copy (2 x 3 GB for the recursion leaf, its
+        # round-5 DEEP OOM). Clamped duplicate columns pair with the
+        # SAME zero betas the padded zero-columns carried, so every tail
+        # term is an exact field zero either way: byte-identical output.
+        idx_mat = np.minimum(
+            np.arange(n_tiles * tile).reshape(n_tiles, tile),
+            ncol - 1).astype(np.int32)
 
         def _pad_ext1(v, kk):
             def p(a):
@@ -1400,8 +1403,8 @@ def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, const_lde, ch_stack,
         tgz_t, bgz_t = _pad_ext1(gz_open, k0 + ncol)
 
         def body(acc, xs):
-            tl, tz, bz, tgz, bgz = xs
-            tfp2 = ext.from_base(tl)                     # (tile, N_lde)
+            ci, tz, bz, tgz, bgz = xs
+            tfp2 = ext.from_base((lde[0][ci], lde[1][ci]))  # (tile, N_lde)
             dz = ext.sub(tfp2, _ext_col(tz))
             acc = ext.add(acc, _weighted_sum0(
                 ext.mul(dz, _ext_row(inv_xz)), bz))
@@ -1411,7 +1414,8 @@ def _deep_phase_raw(log_n, rate, trace_lde, aux_lde, const_lde, ch_stack,
             return acc, None
 
         part, _ = jax.lax.scan(body, ext.zeros((n_lde,)),
-                               (_pad_cols(lde), tz_t, bz_t, tgz_t, bgz_t))
+                               (jnp.asarray(idx_mat), tz_t, bz_t, tgz_t,
+                                bgz_t))
         return ext.add(F, part)
 
     F = _block(ext.zeros((n_lde,)), trace_lde, trace_zeta, trace_gzeta,
