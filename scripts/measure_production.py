@@ -146,7 +146,7 @@ if __name__ == "__main__":
     # transposed-LDE Merkle alloc; with merkle.build_cols tiling it is
     # attempted first at the memory-lean rate-4 parameterization.
     attempts = (
-        (280, 35700, PROD_CFG_R2, "header_280chunk_r4"),
+        (280, 35700, PROD_CFG_R2, "header_280chunk_r5"),
         (256, 32000, PROD_CFG_R2, "header_256chunk_r4"),
         (64, 8000, PROD_CFG, "header_64chunk_r8"),
         (32, 3900, PROD_CFG, "header_32chunk_r8"))
